@@ -1,0 +1,117 @@
+package graft.parser
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Entry point and tree construction, reproducing the reference's
+  * `parseString` / `parseDOM` / `indexOfEndTag` / `repairTags`
+  * (/root/reference/dhtmlparser.d:842-944).
+  */
+object HtmlParser {
+
+  /** Parse text into a DOM under a blank container node
+    * (dhtmlparser.d:929-944). Strips a single leading UTF-8 BOM first
+    * (Q19; D checks byte length > 3, i.e. at least one byte after the BOM).
+    */
+  def parseString(txt: String): HtmlNode = {
+    var t = txt
+    if (t.length > 1 && t.charAt(0) == '\uFEFF') t = t.substring(1)
+
+    val (tokens, offsets) = Lexer.rawSplitWithOffsets(t)
+    val istack = new Array[HtmlNode](tokens.length)
+    var i = 0
+    while (i < tokens.length) {
+      val n = HtmlNode.fromRaw(tokens(i))
+      n.srcOffset = offsets(i)
+      istack(i) = n
+      i += 1
+    }
+
+    val container = HtmlNode.container()
+    container.childs ++= parseDOM(repairTags(istack), 0, istack.length)
+    container
+  }
+
+  /** Q16: the reference's repairTags is effectively a NO-OP — its `index`
+    * counter is only incremented inside a branch gated on `index > 0`,
+    * which never fires (dhtmlparser.d:842-862). We reproduce the no-op;
+    * the intended behavior lives in [[repairTagsFixed]] behind a flag.
+    */
+  def repairTags(rawInput: Array[HtmlNode]): Array[HtmlNode] = rawInput
+
+  /** The behavior repairTags' doc comment *describes* (merge comment-split
+    * tags like `<HT<!-- x -->ML>`; dhtmlparser.d:838-841): provided for
+    * completeness, OFF by default — enabling it diverges from the oracle.
+    */
+  def repairTagsFixed(rawInput: Array[HtmlNode]): Array[HtmlNode] = {
+    val o = new ArrayBuffer[HtmlNode](rawInput.length)
+    var i = 0
+    while (i < rawInput.length) {
+      val el = rawInput(i)
+      if (el.isComment && i > 0 && i + 1 < rawInput.length &&
+          rawInput(i - 1).tagToString.startsWith("<") &&
+          rawInput(i + 1).tagToString.endsWith(">") && o.nonEmpty) {
+        val merged = HtmlNode.fromRaw(o.last.tagToString + rawInput(i + 1).tagToString)
+        o(o.length - 1) = merged
+        o += el
+        i += 2
+      } else {
+        o += el
+        i += 1
+      }
+    }
+    o.toArray
+  }
+
+  /** Q17: forward scan for the balancing endtag of istack(from), counting
+    * same-name openers case-insensitively; returns the offset from `from`,
+    * or 0 if none (dhtmlparser.d:869-890).
+    */
+  private[parser] def indexOfEndTag(istack: Array[HtmlNode], from: Int, until: Int): Int = {
+    if (until - from <= 0) return 0
+    val opener = istack(from)
+    if (!opener.isOpeningTag) return 0
+    var cnt = 0
+    var i = from + 1
+    while (i < until) {
+      val el = istack(i)
+      if (el.isOpeningTag && Ascii.equalsLower(el.getTagName, opener.getTagName)) cnt += 1
+      else if (el.isEndTagTo(opener)) {
+        if (cnt == 0) return i - from
+        else cnt -= 1
+      }
+      i += 1
+    }
+    0
+  }
+
+  /** Q18: recursive span-restricted tree construction (dhtmlparser.d:895-922):
+    * matched pair -> recurse into the exclusive slice, double-link
+    * endtag/openertag, endtag appended as the sibling after the opener;
+    * unmatched non-endtag -> forced nonpair leaf (this also marks text and
+    * comment nodes nonpair, as the reference does); stray endtag -> dropped.
+    */
+  private[parser] def parseDOM(istack: Array[HtmlNode], from: Int, until: Int): ArrayBuffer[HtmlNode] = {
+    val ostack = new ArrayBuffer[HtmlNode]()
+    var index = from
+    while (index < until) {
+      val el = istack(index)
+      val endTagOffset = indexOfEndTag(istack, index, until)
+
+      if (!el.isNonPairTag && endTagOffset == 0 && !el.isEndTag)
+        el.setNonPairTag(true)
+
+      if (endTagOffset != 0) {
+        el.childs = parseDOM(istack, index + 1, index + endTagOffset)
+        el.endtag = istack(index + endTagOffset)
+        el.endtag.openertag = el
+        ostack += el
+        ostack += el.endtag
+        index = index + endTagOffset
+      } else {
+        if (!el.isEndTag) ostack += el
+        index += 1
+      }
+    }
+    ostack
+  }
+}
