@@ -12,7 +12,18 @@ object HtmlParser {
     * (dhtmlparser.d:929-944). Strips a single leading UTF-8 BOM first
     * (Q19; D checks byte length > 3, i.e. at least one byte after the BOM).
     */
-  def parseString(txt: String): HtmlNode = {
+  def parseString(txt: String): HtmlNode = parseWithStats(txt)._1
+
+  /** Parse metrics for the pipeline's per-partition metrics table:
+    * `nNodes = nTokens - droppedEndtags` (every token either lands in the
+    * tree or is a dropped stray endtag); `forcedNonpair` counts *tags*
+    * forced into nonpair leaves by parseDOM (text/comment nodes also get
+    * the flag, per the reference, but are not parse errors).
+    */
+  final case class ParseStats(nTokens: Int, nNodes: Int,
+                              forcedNonpair: Int, droppedEndtags: Int)
+
+  def parseWithStats(txt: String): (HtmlNode, ParseStats) = {
     var t = txt
     if (t.length > 1 && t.charAt(0) == '\uFEFF') t = t.substring(1)
 
@@ -27,8 +38,10 @@ object HtmlParser {
     }
 
     val container = HtmlNode.container()
-    container.childs ++= parseDOM(repairTags(istack), 0, istack.length)
-    container
+    val counters = new Array[Int](2) // 0: forced nonpair tags, 1: dropped endtags
+    container.childs ++= parseDOM(repairTags(istack), 0, istack.length, counters)
+    (container,
+      ParseStats(istack.length, istack.length - counters(1), counters(0), counters(1)))
   }
 
   /** Q16: the reference's repairTags is effectively a NO-OP — its `index`
@@ -90,18 +103,21 @@ object HtmlParser {
     * unmatched non-endtag -> forced nonpair leaf (this also marks text and
     * comment nodes nonpair, as the reference does); stray endtag -> dropped.
     */
-  private[parser] def parseDOM(istack: Array[HtmlNode], from: Int, until: Int): ArrayBuffer[HtmlNode] = {
+  private[parser] def parseDOM(istack: Array[HtmlNode], from: Int, until: Int,
+                               counters: Array[Int] = null): ArrayBuffer[HtmlNode] = {
     val ostack = new ArrayBuffer[HtmlNode]()
     var index = from
     while (index < until) {
       val el = istack(index)
       val endTagOffset = indexOfEndTag(istack, index, until)
 
-      if (!el.isNonPairTag && endTagOffset == 0 && !el.isEndTag)
+      if (!el.isNonPairTag && endTagOffset == 0 && !el.isEndTag) {
         el.setNonPairTag(true)
+        if (counters != null && el.isTag && !el.isComment) counters(0) += 1
+      }
 
       if (endTagOffset != 0) {
-        el.childs = parseDOM(istack, index + 1, index + endTagOffset)
+        el.childs = parseDOM(istack, index + 1, index + endTagOffset, counters)
         el.endtag = istack(index + endTagOffset)
         el.endtag.openertag = el
         ostack += el
@@ -109,6 +125,7 @@ object HtmlParser {
         index = index + endTagOffset
       } else {
         if (!el.isEndTag) ostack += el
+        else if (counters != null && (el.openertag == null)) counters(1) += 1
         index += 1
       }
     }

@@ -1,0 +1,239 @@
+package graft.text
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Deterministic hashing / sketching primitives for dedup at scale:
+  * 64-bit mixing (splitmix64), char-shingle set hashing, MinHash
+  * signatures + LSH band keys, SimHash, and winnowing fingerprints.
+  * All public-literature algorithms (Broder '97 minhash; Charikar '02
+  * simhash; Schleimer et al. '03 winnowing); fixed seeds => identical
+  * output on any cluster size.
+  */
+object Fingerprints {
+
+  /** splitmix64 finalizer — the standard 64-bit mixer. */
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** FNV-1a 64-bit over a char range (no allocation). */
+  def fnv64(s: String, from: Int, until: Int): Long = {
+    var h = 0xCBF29CE484222325L
+    var i = from
+    while (i < until) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001B3L
+      i += 1
+    }
+    h
+  }
+
+  def fnv64(s: String): Long = fnv64(s, 0, s.length)
+
+  /** Distinct hashes of all k-char shingles (sorted for determinism). */
+  def charShingles(s: String, k: Int = 5): Array[Long] = {
+    if (s.length < k) return Array(fnv64(s))
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i + k <= s.length) {
+      set.add(fnv64(s, i, i + k))
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    out
+  }
+
+  /** Word n-gram shingle hashes (for n-gram Jaccard dedup). */
+  def wordShingles(s: String, n: Int = 3): Array[Long] = {
+    val words = s.split("\\s+").filter(_.nonEmpty)
+    if (words.length < n) return Array(fnv64(words.mkString(" ")))
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i + n <= words.length) {
+      var h = 0xCBF29CE484222325L
+      var j = i
+      while (j < i + n) {
+        val w = words(j)
+        var c = 0
+        while (c < w.length) { h ^= w.charAt(c).toLong; h *= 0x100000001B3L; c += 1 }
+        h ^= ' '.toLong; h *= 0x100000001B3L
+        j += 1
+      }
+      set.add(h)
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    out
+  }
+
+  /** Exact Jaccard of two sorted hash arrays. */
+  def jaccard(a: Array[Long], b: Array[Long]): Double = {
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    val union = a.length + b.length - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  /** MinHash signature: numPerms permutations h_i(x) = mix64(x + seed_i),
+    * min over the shingle set. One pass over shingles per permutation
+    * batch (cache-friendly loop order: shingles outer).
+    */
+  def minHash(shingles: Array[Long], numPerms: Int = 64): Array[Long] = {
+    val sig = Array.fill(numPerms)(Long.MaxValue)
+    var i = 0
+    while (i < shingles.length) {
+      val x = shingles(i)
+      var p = 0
+      while (p < numPerms) {
+        val h = mix64(x + Seeds(p))
+        if (h < sig(p)) sig(p) = h
+        p += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  private val Seeds: Array[Long] = {
+    val a = new Array[Long](256)
+    var s = 0x5A17BEEFCAFEL
+    var i = 0
+    while (i < a.length) { s = mix64(s); a(i) = s; i += 1 }
+    a
+  }
+
+  /** LSH band keys from a minhash signature: `bands` hashes, each over
+    * rows = numPerms/bands consecutive signature entries. Two docs share
+    * a band key with prob 1-(1-J^rows)^bands.
+    */
+  def lshBands(sig: Array[Long], bands: Int = 16): Array[Long] = {
+    val rows = sig.length / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0xCBF29CE484222325L ^ b
+      var r = b * rows
+      while (r < (b + 1) * rows) {
+        h ^= sig(r)
+        h *= 0x100000001B3L
+        r += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    out
+  }
+
+  /** Estimated Jaccard from two minhash signatures. */
+  def minHashSimilarity(a: Array[Long], b: Array[Long]): Double = {
+    var eq = 0; var i = 0
+    while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
+    eq.toDouble / a.length
+  }
+
+  /** 64-bit SimHash over word hashes (Charikar). */
+  def simHash(s: String): Long = {
+    val counts = new Array[Int](64)
+    val words = s.split("\\s+")
+    var w = 0
+    while (w < words.length) {
+      if (words(w).nonEmpty) {
+        val h = fnv64(words(w))
+        var bit = 0
+        while (bit < 64) {
+          if (((h >>> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1
+          bit += 1
+        }
+      }
+      w += 1
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (counts(bit) > 0) out |= (1L << bit)
+      bit += 1
+    }
+    out
+  }
+
+  def hammingDistance(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Winnowing document fingerprints: k-gram rolling hashes, min per
+    * window of size w (rightmost min on ties), deduplicated, sorted.
+    */
+  def winnow(s: String, k: Int = 8, w: Int = 4): Array[Long] = {
+    if (s.length < k) return Array(fnv64(s))
+    val nGrams = s.length - k + 1
+    val hashes = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) { hashes(i) = fnv64(s, i, i + k); i += 1 }
+    val picked = new java.util.TreeSet[java.lang.Long]()
+    var start = 0
+    while (start + w <= nGrams) {
+      var minIdx = start
+      var j = start + 1
+      while (j < start + w) {
+        if (hashes(j) <= hashes(minIdx)) minIdx = j
+        j += 1
+      }
+      picked.add(hashes(minIdx))
+      start += 1
+    }
+    if (picked.isEmpty) picked.add(hashes(0))
+    val out = new Array[Long](picked.size)
+    val it = picked.iterator()
+    var m = 0
+    while (it.hasNext) { out(m) = it.next(); m += 1 }
+    out
+  }
+
+  // ===== embeddings ========================================================
+
+  /** Cosine similarity between two float vectors. */
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i)
+      na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i)
+      i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** Random-hyperplane LSH bucket (sign bits of dot products with
+    * deterministic pseudo-random planes) for embedding near-dup/ANN
+    * bucketing: `nbits` sign bits packed into a Long.
+    */
+  def rhpBucket(v: Array[Float], nbits: Int = 16): Long = {
+    var out = 0L
+    var b = 0
+    while (b < nbits) {
+      var dot = 0.0
+      var i = 0
+      while (i < v.length) {
+        // deterministic plane component in [-1,1): mix of (bit, dim)
+        val h = mix64(Seeds(b % Seeds.length) + i)
+        dot += v(i) * (h.toDouble / Long.MaxValue.toDouble)
+        i += 1
+      }
+      if (dot >= 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}

@@ -1,0 +1,143 @@
+package graft.text
+
+/** Deterministic text-analysis primitives for training-data pipelines
+  * (language-ID, quality scoring, token counting). Pure functions —
+  * called row-wise from Spark (mapPartitions / codegen'd functions where
+  * expressible) and unit-testable without a SparkSession.
+  */
+object TextAnalysis {
+
+  // ===== tokenization ======================================================
+
+  /** Whitespace token count (single pass, no allocation). */
+  def wsTokenCount(s: String): Int = {
+    var count = 0
+    var inTok = false
+    var i = 0
+    while (i < s.length) {
+      val w = Character.isWhitespace(s.charAt(i))
+      if (!w && !inTok) { count += 1; inTok = true }
+      else if (w) inTok = false
+      i += 1
+    }
+    count
+  }
+
+  /** BPE-ish subword-boundary token count: alnum runs split at
+    * case/digit transitions, plus each punctuation char. Approximates a
+    * byte-pair tokenizer's granularity deterministically (a stand-in for
+    * a real vocab; same shape as GPT-style pretokenizers).
+    */
+  def bpeishTokenCount(s: String): Int = {
+    var count = 0
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) i += 1
+      else if (Character.isLetter(c)) {
+        // a letter run; split every 6 chars (subword pieces) and at case flips
+        var j = i + 1
+        var pieces = 1
+        var run = 1
+        while (j < n && Character.isLetter(s.charAt(j))) {
+          val prevUp = Character.isUpperCase(s.charAt(j - 1))
+          val curUp = Character.isUpperCase(s.charAt(j))
+          run += 1
+          if ((curUp && !prevUp) || run > 6) { pieces += 1; run = 1 }
+          j += 1
+        }
+        count += pieces
+        i = j
+      } else if (Character.isDigit(c)) {
+        // digit runs: one token per 3 digits (number chunking)
+        var j = i + 1
+        while (j < n && Character.isDigit(s.charAt(j))) j += 1
+        count += (j - i + 2) / 3
+        i = j
+      } else { count += 1; i += 1 } // punctuation / symbol: one each
+    }
+    count
+  }
+
+  // ===== language ID =======================================================
+
+  private val Stopwords: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "a", "in", "is", "it", "that", "for", "on", "with", "as"),
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu", "auf", "für"),
+    "es" -> Set("el", "la", "de", "que", "y", "en", "un", "una", "es", "no", "por", "con", "para"),
+    "fr" -> Set("le", "la", "les", "de", "et", "un", "une", "est", "pas", "que", "pour", "dans")
+  )
+
+  /** Heuristic language ID: script ranges first (CJK -> zh, Cyrillic ->
+    * ru, Devanagari -> hi), then stopword voting over latin text;
+    * "und" (undetermined) when nothing scores. Returns (lang, confidence).
+    */
+  def detectLanguage(s: String): (String, Double) = {
+    var cjk = 0; var cyr = 0; var deva = 0; var letters = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isLetter(c)) {
+        letters += 1
+        if (c >= 0x4E00 && c <= 0x9FFF) cjk += 1
+        else if (c >= 0x0400 && c <= 0x04FF) cyr += 1
+        else if (c >= 0x0900 && c <= 0x097F) deva += 1
+      }
+      i += 1
+    }
+    if (letters == 0) return ("und", 0.0)
+    if (cjk * 2 > letters) return ("zh", cjk.toDouble / letters)
+    if (cyr * 2 > letters) return ("ru", cyr.toDouble / letters)
+    if (deva * 2 > letters) return ("hi", deva.toDouble / letters)
+
+    val words = s.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty)
+    if (words.isEmpty) return ("und", 0.0)
+    var best = "und"; var bestHits = 0
+    Stopwords.toSeq.sortBy(_._1).foreach { case (lang, sw) =>
+      val hits = words.count(sw.contains)
+      if (hits > bestHits) { best = lang; bestHits = hits }
+    }
+    if (bestHits == 0) ("und", 0.0)
+    else (best, bestHits.toDouble / words.length)
+  }
+
+  // ===== quality scoring ===================================================
+
+  final case class Quality(nChars: Int, nTokens: Int, meanTokenLen: Double,
+                           alphaRatio: Double, punctRatio: Double,
+                           stopwordRatio: Double, score: Double)
+
+  /** Deterministic document-quality signals (C4/Gopher-style filters from
+    * the public literature): length, alpha/punct ratios, mean token
+    * length, English stopword ratio, folded into one [0,1] score.
+    */
+  def quality(s: String): Quality = {
+    var alpha = 0; var punct = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isLetterOrDigit(c)) alpha += 1
+      else if (!Character.isWhitespace(c)) punct += 1
+      i += 1
+    }
+    val n = s.length
+    val toks = s.split("\\s+").filter(_.nonEmpty)
+    val nTok = toks.length
+    val meanLen = if (nTok == 0) 0.0 else toks.map(_.length).sum.toDouble / nTok
+    val aR = if (n == 0) 0.0 else alpha.toDouble / n
+    val pR = if (n == 0) 0.0 else punct.toDouble / n
+    val sw = Stopwords("en")
+    val swR = if (nTok == 0) 0.0 else toks.count(t => sw.contains(t.toLowerCase)).toDouble / nTok
+
+    // each clause in [0,1]; fixed weights
+    val lenScore = math.min(1.0, n / 500.0)
+    val meanLenScore = if (meanLen >= 3 && meanLen <= 10) 1.0 else 0.5
+    val alphaScore = aR
+    val punctScore = math.max(0.0, 1.0 - 4.0 * pR)
+    val swScore = math.min(1.0, swR * 5.0)
+    val score = 0.25 * lenScore + 0.15 * meanLenScore + 0.25 * alphaScore +
+      0.15 * punctScore + 0.20 * swScore
+    Quality(n, nTok, meanLen, aR, pR, swR, score)
+  }
+}
