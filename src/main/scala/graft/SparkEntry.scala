@@ -1,13 +1,207 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.spark.{Dedup, Embeddings, HtmlFunctions => H, Multimodal, Pipeline, Transcripts}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * All HTML-parsing queries run over a transcripts table derived
+  * *algebraically* from the driver's parquet tables (Transcripts.derive),
+  * so the DuckDB oracle can regenerate the exact input text and the
+  * expected parse outputs — the oracle checks real parse semantics, not
+  * just row counts. Parser-internal ops with no SQL analog are exposed
+  * rows-only per the contract.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** documents with deterministic exact-dup injection (doc_id%10==0 rows
+    * appear twice) — mirrors the oracle's UNION ALL.
+    */
+  private def docsWithDups(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    d.unionByName(d.filter(col("doc_id") % 10 === 0))
+  }
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * (The find_links.d workload: parse every turn, emit hrefs in document
+    * order — SURVEY.md §2.3.)
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val t = Transcripts.derive(spark, "/root/testdata/sf0.001")
+    t.select(col("conv_id"), col("turn_idx"),
+        posexplode(H.find_links(col("text"))).as(Seq("pos", "href")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ===== parser semantics over derived transcripts =====================
+    "q_roundtrip" -> ((s, dir) => {
+      Transcripts.derive(s, dir)
+        .select(col("conv_id"), col("turn_idx"), H.to_html(col("text")).as("rt"))
+    }),
+    "q_find_links" -> ((s, dir) => {
+      Transcripts.derive(s, dir)
+        .select(col("conv_id"), col("turn_idx"),
+          posexplode(H.find_links(col("text"))).as(Seq("pos", "href")))
+    }),
+    "q_get_content" -> ((s, dir) => {
+      Transcripts.derive(s, dir)
+        .select(col("conv_id"), col("turn_idx"),
+          H.get_content(col("text"), lit("p")).as("content"))
+    }),
+    "q_tag_string" -> ((s, dir) => {
+      Transcripts.derive(s, dir)
+        .select(col("conv_id"), col("turn_idx"),
+          H.first_tag_string(col("text"), lit("div"), lit("id"), lit("main")).as("tag_str"))
+    }),
+    "q_node_count" -> ((s, dir) => {
+      Transcripts.derive(s, dir)
+        .select(col("conv_id"), col("turn_idx"),
+          H.node_count(col("text")).as("n_nodes"))
+    }),
+    "q_extract_main" -> ((s, dir) => {
+      Transcripts.derive(s, dir)
+        .select(col("conv_id"), col("turn_idx"),
+          H.extractMainText(col("text")).as("extracted_text"))
+    }),
+    // ===== the pipeline path (salted repartition + mapPartitions) ========
+    "q_pipeline_extract" -> ((s, dir) => {
+      val extracted = Pipeline.extractTurns(Transcripts.derive(s, dir))
+      Pipeline.reassembled(extracted).toDF()
+        .select(col("conv_id"), col("turn_idx"), col("extracted_text"),
+          col("n_nodes"), col("n_errors"))
+    }),
+    "q_conversations" -> ((s, dir) => {
+      val extracted = Pipeline.extractTurns(Transcripts.derive(s, dir))
+      Pipeline.conversations(extracted)
+    }),
+    // ===== window / agg over transcripts ==================================
+    "q_turn_rn" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx").desc)
+      Transcripts.derive(s, dir)
+        .select(col("conv_id"), col("turn_idx"),
+          row_number().over(w).as("rn_desc"))
+    }),
+    "q_role_metrics" -> ((s, dir) => {
+      Transcripts.derive(s, dir)
+        .groupBy(col("role"))
+        .agg(count(lit(1)).as("n"), sum(length(col("text"))).as("total_chars"))
+    }),
+    // ===== text analysis over documents ===================================
+    "q_token_count" -> ((s, dir) => {
+      val tok = udf((t: String) => graft.text.TextAnalysis.wsTokenCount(t))
+      docs(s, dir).select(col("doc_id"), tok(col("text")).as("n_tokens"))
+    }),
+    "q_langid" -> ((s, dir) => {
+      val lang = udf((t: String) => graft.text.TextAnalysis.detectLanguage(t)._1)
+      docs(s, dir).select(col("doc_id"), lang(col("text")).as("lang_detected"))
+    }),
+    "q_quality" -> ((s, dir) => {
+      val qual = udf((t: String) => {
+        val q = graft.text.TextAnalysis.quality(t)
+        (q.nTokens, math.round(q.score * 10000).toInt)
+      })
+      docs(s, dir).select(col("doc_id"), qual(col("text")).as("q"))
+        .select(col("doc_id"), col("q._1").as("n_tokens"), col("q._2").as("score_bp"))
+    }),
+    // ===== dedup =========================================================
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactDupGroups(docsWithDups(s, dir))),
+    "q_neardup_pairs" -> ((s, dir) =>
+      Dedup.nearDupPairs(Dedup.withPerturbed(docs(s, dir)), simThreshold = 0.8)
+        .select(col("a"), col("b"))),
+    "q_ngram_jaccard" -> ((s, dir) =>
+      Dedup.exactNgramJaccardPairs(docs(s, dir), threshold = 0.5)),
+    "q_simhash" -> ((s, dir) =>
+      Dedup.simhashTable(docs(s, dir))),
+    "q_fingerprints" -> ((s, dir) =>
+      Dedup.fingerprintTable(docs(s, dir))),
+    // ===== similarity search over embeddings ==============================
+    "q_embed_topk" -> ((s, dir) =>
+      Embeddings.bruteForceTopK(emb(s, dir), k = 5, nQueries = 10)),
+    "q_embed_ann" -> ((s, dir) =>
+      Embeddings.annTopK(emb(s, dir), k = 5, nQueries = 10, nbits = 4)),
+    // ===== multimodal plumbing ============================================
+    "q_media_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(Multimodal.syntheticMedia(docs(s, dir)))
+        .select(col("doc_id"), size(col("features")).as("n_dims"))),
+    "q_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(Multimodal.syntheticMedia(docs(s, dir)))
+        .select(col("doc_id"), col("frame_idx")))
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = {
+    val cte = Transcripts.OracleCte
+    val textExpr = Transcripts.OracleTextExpr
+    val extractExpr = Transcripts.OracleExtractExpr
+    Map(
+      "q_roundtrip" ->
+        s"$cte SELECT conv_id, turn_idx, $textExpr AS rt FROM t",
+      "q_find_links" ->
+        s"""$cte SELECT conv_id, turn_idx, 0 AS pos, '/home' AS href FROM t
+           | UNION ALL SELECT conv_id, turn_idx, 1, '/about' FROM t
+           | UNION ALL SELECT conv_id, turn_idx, 2, '/ord/' || okey || '/' || lnum FROM t"""
+          .stripMargin.replace("\n", ""),
+      "q_get_content" ->
+        s"$cte SELECT conv_id, turn_idx, dtext AS content FROM t",
+      "q_tag_string" ->
+        s"""$cte SELECT conv_id, turn_idx, '<div class="main" id="main">' AS tag_str FROM t""",
+      "q_node_count" ->
+        s"$cte SELECT conv_id, turn_idx, 38 AS n_nodes FROM t",
+      "q_extract_main" ->
+        s"$cte SELECT conv_id, turn_idx, $extractExpr AS extracted_text FROM t",
+      "q_pipeline_extract" ->
+        s"""$cte SELECT conv_id, turn_idx, $extractExpr AS extracted_text,
+           | 38 AS n_nodes, 0 AS n_errors FROM t""".stripMargin.replace("\n", ""),
+      "q_conversations" ->
+        s"""$cte SELECT conv_id, count(*) AS n_turns, 38 * count(*) AS n_nodes,
+           | 0 AS n_errors,
+           | string_agg($extractExpr, chr(10) ORDER BY turn_idx) AS conv_text
+           | FROM t GROUP BY conv_id""".stripMargin.replace("\n", ""),
+      "q_turn_rn" ->
+        s"""$cte SELECT conv_id, turn_idx,
+           | CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx DESC) AS INT) AS rn_desc
+           | FROM t""".stripMargin.replace("\n", ""),
+      "q_role_metrics" ->
+        s"""$cte SELECT CASE turn_idx % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+           | ELSE 'tool' END AS role, count(*) AS n,
+           | sum(length($textExpr)) AS total_chars
+           | FROM t GROUP BY 1""".stripMargin.replace("\n", ""),
+      "q_token_count" ->
+        """SELECT doc_id, CAST(1 + length(text) - length(replace(text, ' ', '')) AS INT)
+          | AS n_tokens FROM documents""".stripMargin.replace("\n", ""),
+      "q_dedup_exact" ->
+        """SELECT md5(text) AS text_hash, count(*) AS cnt FROM (
+          | SELECT text FROM documents
+          | UNION ALL SELECT text FROM documents WHERE doc_id % 10 = 0
+          |) GROUP BY 1""".stripMargin.replace("\n", ""),
+      "q_ngram_jaccard" ->
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |n AS (SELECT i FROM generate_series(1, 4096) AS s(i)),
+          |tri AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+          |        FROM w JOIN n ON n.i <= len(ws) - 2),
+          |sizes AS (SELECT doc_id, count(*) AS sz FROM tri GROUP BY 1),
+          |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+          |          FROM tri a JOIN tri b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+          |SELECT a, b FROM inter
+          |JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+          |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5""".stripMargin.replace("\n", " "),
+      "q_media_features" ->
+        "SELECT doc_id, 18 AS n_dims FROM documents",
+      "q_frame_sample" ->
+        """SELECT doc_id, f AS frame_idx FROM documents
+          | CROSS JOIN (VALUES (0),(2),(4),(6)) AS v(f)
+          | WHERE f < length(text) % 7 + 1""".stripMargin.replace("\n", "")
+    )
+  }
 }

@@ -1,0 +1,131 @@
+package graft.spark
+
+import graft.text.Fingerprints
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data deduplication operators over a documents table
+  * (doc_id, text, ...): exact (hash groupBy), MinHash+LSH banding,
+  * SimHash, and exact n-gram Jaccard verification.
+  *
+  * Scale notes:
+  *  - exact dedup is one hash-aggregate (map-side partial + final);
+  *  - LSH candidate generation is explode(bands) -> self-join on the
+  *    band key: the join is hash-partitioned on band_hash, so each
+  *    bucket is colocated; candidate count per bucket is bounded by the
+  *    band collision rate, not the corpus size;
+  *  - signatures are computed once per doc in a single projection
+  *    (no shuffle) — at 100 TB this stage is embarrassingly parallel.
+  */
+object Dedup {
+
+  // word-3-gram shingles: for natural text they separate near-dups from
+  // same-vocabulary neighbors far better than char shingles (two random
+  // docs over a small shared vocabulary share most char-5-grams but
+  // almost no word trigrams)
+  private val sigUdf = udf((text: String) =>
+    Fingerprints.minHash(Fingerprints.wordShingles(if (text == null) "" else text)).toSeq)
+  private val bandsUdf = udf((sig: Seq[Long]) =>
+    Fingerprints.lshBands(sig.toArray).toSeq)
+  private val simhashUdf = udf((text: String) =>
+    Fingerprints.simHash(if (text == null) "" else text))
+  private val jaccardUdf = udf((a: String, b: String) =>
+    Fingerprints.jaccard(Fingerprints.wordShingles(a), Fingerprints.wordShingles(b)))
+  private val minhashSimUdf = udf((a: Seq[Long], b: Seq[Long]) =>
+    Fingerprints.minHashSimilarity(a.toArray, b.toArray))
+  private val winnowUdf = udf((text: String) =>
+    Fingerprints.winnow(if (text == null) "" else text).toSeq)
+
+  /** Exact duplicate groups: md5(text) -> count. */
+  def exactDupGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_hash"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Deterministic near-duplicates for exercising the LSH path on
+    * synthetic data: each doc gets a sibling (doc_id + offset) with one
+    * word appended — word-3-gram Jaccard n/(n+1), far above any random
+    * same-vocabulary pair (~0.002), and all original shingles preserved.
+    */
+  def withPerturbed(docs: DataFrame, offset: Long = 1000000L): DataFrame = {
+    val perturbed = docs.select(
+      (col("doc_id") + lit(offset)).as("doc_id"),
+      concat(col("text"), lit(" zzappendedmarker")).as("text"))
+    docs.select(col("doc_id"), col("text")).unionByName(perturbed)
+  }
+
+  /** Per-doc minhash signature (64 perms). */
+  def signatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), sigUdf(col("text")).as("sig"))
+
+  /** Exploded LSH band table: (doc_id, band_idx, band_hash). */
+  def bandTable(docs: DataFrame): DataFrame =
+    signatures(docs)
+      .select(col("doc_id"), posexplode(bandsUdf(col("sig"))).as(Seq("band_idx", "band_hash")))
+
+  /** Near-dup candidate pairs via band-bucket self-join, verified with
+    * minhash similarity >= simThreshold. Returns (a, b, est_sim), a < b.
+    */
+  def nearDupPairs(docs: DataFrame, simThreshold: Double = 0.7): DataFrame = {
+    val sigs = signatures(docs).cache()
+    val bands = sigs
+      .select(col("doc_id"), explode(bandsUdf(col("sig"))).as("band_hash"))
+    val cand = bands.as("l").join(bands.as("r"),
+        col("l.band_hash") === col("r.band_hash") && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+      .distinct()
+    cand
+      .join(sigs.withColumnRenamed("doc_id", "a").withColumnRenamed("sig", "sig_a"), "a")
+      .join(sigs.withColumnRenamed("doc_id", "b").withColumnRenamed("sig", "sig_b"), "b")
+      .select(col("a"), col("b"), minhashSimUdf(col("sig_a"), col("sig_b")).as("est_sim"))
+      .filter(col("est_sim") >= simThreshold)
+  }
+
+  /** Exact word-3-gram Jaccard for verified pairs (joins text back). */
+  def ngramJaccardPairs(docs: DataFrame, pairs: DataFrame,
+                        threshold: Double = 0.5): DataFrame = {
+    val t = docs.select(col("doc_id"), col("text"))
+    pairs
+      .join(t.withColumnRenamed("doc_id", "a").withColumnRenamed("text", "text_a"), "a")
+      .join(t.withColumnRenamed("doc_id", "b").withColumnRenamed("text", "text_b"), "b")
+      .select(col("a"), col("b"), jaccardUdf(col("text_a"), col("text_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  private val triUdf = udf((text: String) => {
+    val ws = (if (text == null) "" else text).split(" ", -1)
+    if (ws.length < 3) Seq.empty[String]
+    else (0 to ws.length - 3).map(i => ws(i) + " " + ws(i + 1) + " " + ws(i + 2)).distinct
+  })
+
+  /** Exact all-pairs word-trigram Jaccard >= threshold (no sketching):
+    * distinct-gram explode -> gram-key equi-join (hash-partitioned on the
+    * gram, so co-occurring docs colocate) -> per-pair intersection count
+    * -> Jaccard from per-doc sizes. This is the *verification* tier; at
+    * corpus scale the LSH candidates (nearDupPairs) bound the pair space
+    * first. Returns (a, b), a < b.
+    */
+  def exactNgramJaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val tri = docs.select(col("doc_id"), explode(triUdf(col("text"))).as("g"))
+    val sizes = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = tri.as("l").join(tri.as("r"),
+        col("l.g") === col("r.g") && col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sz_a")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("sz_b")), "b")
+      .filter(col("i").cast("double") / (col("sz_a") + col("sz_b") - col("i")) >= threshold)
+      .select(col("a"), col("b"))
+  }
+
+  /** SimHash per doc + 16-bit prefix bucket (near-dup blocking key). */
+  def simhashTable(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), simhashUdf(col("text")).as("simhash"))
+      .withColumn("bucket", shiftrightunsigned(col("simhash"), 48))
+
+  /** Winnowing fingerprints (doc_id, fingerprint) exploded — substring-
+    * level dedup/contamination lookup table.
+    */
+  def fingerprintTable(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(winnowUdf(col("text"))).as("fingerprint"))
+}

@@ -1,0 +1,125 @@
+package graft.spark
+
+import graft.extract.Extractor
+import graft.parser.{HtmlNode, HtmlParser}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.udf
+
+/** The engine's scalar-function surface over HTML text columns.
+  *
+  * Design (SURVEY.md §4.3): the parser itself is a pure JVM function —
+  * per-turn parse cost dominates, so a Scala UDF (codegen calls it with
+  * UTF8String->String conversion only) is the right tier; no custom
+  * Catalyst Expression needed in v1. Keep plans in the shape
+  * `select(cols..., fn(col("text")))` so Catalyst column pruning still
+  * reaches the parquet scan (never `Dataset.map` over whole rows).
+  *
+  * Every function here mirrors a reference operator (SURVEY.md §2.1):
+  * parse_html (#1), find/findAll via node rows or find_links (#17-21),
+  * get_content (#27), prettify (#28), to_html round-trip (#29),
+  * tag_to_string (#25), plus extract_main (the north_rule extraction).
+  */
+object HtmlFunctions {
+
+  /** DOM -> flat pre-order arena of NodeRow (ids replace pointers). */
+  def toRows(root: HtmlNode): Seq[NodeRow] = {
+    val ids = new java.util.IdentityHashMap[HtmlNode, Integer]()
+    var next = 0
+    def number(n: HtmlNode): Unit = {
+      ids.put(n, next); next += 1
+      n.childs.foreach(number)
+    }
+    number(root)
+
+    val out = Vector.newBuilder[NodeRow]
+    def emit(n: HtmlNode, parent: Int, pos: Int, depth: Int): Unit = {
+      val id = ids.get(n)
+      val kind: Byte =
+        if (!n.isTag) 0
+        else if (n.isComment) 1
+        else if (n.isEndTag) 3
+        else 2
+      val endId = if (n.endtag != null && ids.containsKey(n.endtag)) ids.get(n.endtag).intValue else -1
+      val opId = if (n.openertag != null && ids.containsKey(n.openertag)) ids.get(n.openertag).intValue else -1
+      out += NodeRow(id, parent, pos, depth, kind, n.getTagName, n.rawElement,
+        n.params.toMap, n.isNonPairTag, endId, opId, n.srcOffset)
+      var i = 0
+      n.childs.foreach { c => emit(c, id, i, depth + 1); i += 1 }
+    }
+    emit(root, -1, 0, 0)
+    out.result()
+  }
+
+  // ===== pure row-wise functions (also used by mapPartitions) =============
+
+  def parseNodes(html: String): Seq[NodeRow] =
+    if (html == null) Seq.empty else toRows(HtmlParser.parseString(html))
+
+  def findLinks(html: String): Seq[String] =
+    if (html == null) Seq.empty
+    else HtmlParser.parseString(html).find("a").flatMap(_.params.get("href")).toSeq
+
+  /** getContent of the first DFS match of `tag` (null if no match). */
+  def getContentOf(html: String, tag: String): String = {
+    if (html == null) return null
+    val hits = HtmlParser.parseString(html).find(tag)
+    if (hits.isEmpty) null else hits.head.getContent
+  }
+
+  /** getContent of every DFS match of `tag`, in document order. */
+  def getContentsOf(html: String, tag: String): Seq[String] =
+    if (html == null) Seq.empty
+    else HtmlParser.parseString(html).find(tag).map(_.getContent).toSeq
+
+  /** Normalized tagToString of the first match of tag[key=value]. */
+  def firstTagString(html: String, tag: String, key: String, value: String): String = {
+    if (html == null) return null
+    val hits = HtmlParser.parseString(html).find(tag, Map(key -> value))
+    if (hits.isEmpty) null else hits.head.tagToString
+  }
+
+  def roundtrip(html: String): String =
+    if (html == null) null else HtmlParser.parseString(html).toHtml
+
+  def prettifyHtml(html: String): String =
+    if (html == null) null else HtmlParser.parseString(html).prettify()
+
+  def nodeCount(html: String): Int =
+    if (html == null) 0 else HtmlParser.parseWithStats(html)._2.nNodes
+
+  def extractTurn(conv: String, idx: Int, html: String): ExtractedTurn = {
+    val r = Extractor.extract(if (html == null) "" else html)
+    ExtractedTurn(conv, idx, r.text,
+      r.spans.map(s => SpanRec(s.start, s.end, s.kind)), r.nNodes, r.nErrors)
+  }
+
+  // ===== Column functions ==================================================
+
+  val parse_html = udf(parseNodes _)
+  val find_links = udf(findLinks _)
+  val get_content = udf(getContentOf _)
+  val get_contents = udf(getContentsOf _)
+  val first_tag_string = udf(firstTagString _)
+  val to_html = udf(roundtrip _)
+  val prettify_html = udf(prettifyHtml _)
+  val node_count = udf(nodeCount _)
+  val extract_main = udf((html: String) => {
+    val r = Extractor.extract(if (html == null) "" else html)
+    (r.text, r.spans.map(s => SpanRec(s.start, s.end, s.kind)), r.nNodes, r.nErrors)
+  })
+
+  def extractMainText(c: Column): Column = extract_main(c).getField("_1")
+
+  /** Register everything for spark.sql use. */
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("parse_html", parse_html)
+    spark.udf.register("find_links", find_links)
+    spark.udf.register("get_content", get_content)
+    spark.udf.register("get_contents", get_contents)
+    spark.udf.register("first_tag_string", first_tag_string)
+    spark.udf.register("to_html", to_html)
+    spark.udf.register("prettify_html", prettify_html)
+    spark.udf.register("node_count", node_count)
+    spark.udf.register("extract_main", extract_main)
+  }
+}

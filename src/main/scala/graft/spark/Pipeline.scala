@@ -1,0 +1,199 @@
+package graft.spark
+
+import graft.extract.Extractor
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.CollectionAccumulator
+
+/** The batch extraction pipeline (BASELINE.json north_rule):
+  *
+  *   transcripts scan -> resume filter (anti-join vs checkpoint) ->
+  *   salted repartition -> mapPartitions batch extraction with reusable
+  *   parser state -> per-conversation reassembly -> extracted / metrics /
+  *   lineage sinks.
+  *
+  * Scale design (local[32] here, 1000-executor mental model):
+  *  - **Salting / skew**: extraction is per-turn independent, so we
+  *    hash-repartition on (conv_id, turn_idx) — a conversation with 10^6
+  *    turns spreads over all executors instead of pinning one. This *is*
+  *    the salt (turn_idx is the salt key); ordering is restored later by
+  *    the reassembly shuffle, which groups back on conv_id alone.
+  *  - **Oversize guard**: texts beyond `maxTextChars` are not parsed
+  *    (the reference tree-builder is O(n^2) worst-case); they are counted
+  *    in metrics and emitted with empty extraction — never silently
+  *    dropped (SURVEY.md §7.5.3).
+  *  - **Column pruning**: all plans select exactly (conv_id, turn_idx,
+  *    text); the parquet scan reads only those columns.
+  *  - **Resume**: per-input-file checkpoint. Output of each run goes to a
+  *    batch subdirectory whose name is a deterministic hash of the pending
+  *    file list, written with overwrite — a rerun after a crash between
+  *    data-write and checkpoint-write rewrites the same directory, so
+  *    resume is idempotent (parquet stand-in for an Iceberg transactional
+  *    commit).
+  */
+object Pipeline {
+
+  final case class Config(partitions: Int = 0, // 0 = spark.sql.shuffle.partitions
+                          maxTextChars: Int = 4 << 20,
+                          snapshotId: String = "parquet-v0")
+
+  /** Core stage: salted repartition + mapPartitions extraction.
+    * Input must have (conv_id string, turn_idx int, text string [, src_file]).
+    * Keeps src_file if present (for lineage).
+    */
+  def extractTurns(turns: DataFrame, cfg: Config = Config(),
+                   metricsAcc: CollectionAccumulator[PartitionMetrics] = null): Dataset[ExtractedTurn] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    val parts =
+      if (cfg.partitions > 0) cfg.partitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val maxChars = cfg.maxTextChars
+
+    turns
+      .select(col("conv_id"), col("turn_idx"), col("text"))
+      .repartition(parts, col("conv_id"), col("turn_idx")) // salt: turn-level spread
+      .as[(String, Int, String)]
+      .mapPartitions { it =>
+        val t0 = System.nanoTime()
+        var nTurns = 0L; var nBytes = 0L; var nNodes = 0L
+        var nErrors = 0L; var nOversize = 0L
+        val out = it.map { case (conv, idx, text) =>
+          val t = if (text == null) "" else text
+          nTurns += 1; nBytes += t.length
+          val rec =
+            if (t.length > maxChars) {
+              nOversize += 1
+              ExtractedTurn(conv, idx, "", Seq.empty, 0, 1)
+            } else {
+              val r = Extractor.extract(t)
+              ExtractedTurn(conv, idx, r.text,
+                r.spans.map(s => SpanRec(s.start, s.end, s.kind)), r.nNodes, r.nErrors)
+            }
+          nNodes += rec.n_nodes; nErrors += rec.n_errors
+          rec
+        }
+        // iterator wrapper so metrics flush after the partition drains
+        new Iterator[ExtractedTurn] {
+          def hasNext: Boolean = {
+            val h = out.hasNext
+            if (!h && metricsAcc != null) {
+              metricsAcc.add(PartitionMetrics(TaskContext.getPartitionId(),
+                nTurns, nBytes, nNodes, nErrors, nOversize,
+                (System.nanoTime() - t0) / 1000000L))
+            }
+            h
+          }
+          def next(): ExtractedTurn = out.next()
+        }
+      }
+  }
+
+  /** Reassembly: one shuffle on conv_id, turns ordered within each
+    * conversation (array_sort over collected structs — all built-in,
+    * codegen'd; partial aggregation happens map-side).
+    */
+  def conversations(extracted: Dataset[ExtractedTurn]): DataFrame = {
+    extracted
+      .groupBy(col("conv_id"))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        sum(col("n_nodes")).as("n_nodes"),
+        sum(col("n_errors")).as("n_errors"),
+        array_sort(collect_list(struct(col("turn_idx"), col("extracted_text"))))
+          .as("turns_sorted"))
+      .select(col("conv_id"), col("n_turns"), col("n_nodes"), col("n_errors"),
+        array_join(transform(col("turns_sorted"), t => t.getField("extracted_text")), "\n")
+          .as("conv_text"))
+  }
+
+  /** Per-turn output in stable (conv_id, turn_idx) order — the shape the
+    * per-turn oracle compares (north_rule: "per-turn text equality under
+    * stable turn ordering").
+    */
+  def reassembled(extracted: Dataset[ExtractedTurn]): Dataset[ExtractedTurn] = {
+    val spark = extracted.sparkSession
+    import spark.implicits._
+    extracted
+      .repartition(col("conv_id"))
+      .sortWithinPartitions(col("conv_id"), col("turn_idx"))
+      .as[ExtractedTurn]
+  }
+
+  final case class RunSummary(batchId: String, filesProcessed: Long,
+                              rowsProcessed: Long, skippedFiles: Long)
+
+  /** Resumable batch run over a transcripts parquet directory. */
+  def runResumable(spark: SparkSession, transcriptsPath: String, outDir: String,
+                   cfg: Config = Config()): RunSummary = {
+    import spark.implicits._
+    val ckptPath = s"$outDir/checkpoint"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
+
+    val done: Set[String] =
+      if (fs.exists(new org.apache.hadoop.fs.Path(ckptPath)))
+        spark.read.parquet(ckptPath).select("file").as[String].collect().toSet
+      else Set.empty
+
+    val input = spark.read.parquet(transcriptsPath)
+      .withColumn("src_file", input_file_name())
+
+    val allFiles = input.inputFiles.toSet
+    val pendingFiles = (allFiles -- done).toSeq.sorted
+    if (pendingFiles.isEmpty)
+      return RunSummary("none", 0, 0, done.size.toLong)
+
+    // deterministic batch id from the pending set => idempotent rerun
+    val batchId = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      pendingFiles.foreach(f => md.update(f.getBytes("UTF-8")))
+      md.digest().map("%02x".format(_)).mkString.take(16)
+    }
+
+    val pending = input.filter(col("src_file").isin(pendingFiles: _*))
+    val metricsAcc = new CollectionAccumulator[PartitionMetrics]
+    spark.sparkContext.register(metricsAcc, "graft.partitionMetrics")
+
+    val extracted = extractTurns(pending, cfg, metricsAcc)
+    reassembled(extracted)
+      .write.mode("overwrite")
+      .parquet(s"$outDir/extracted/batch=$batchId")
+
+    val rows = spark.read.parquet(s"$outDir/extracted/batch=$batchId").count()
+
+    // lineage: row counts per source file of this batch. Batch-keyed
+    // overwrite => idempotent on rerun of the same pending set (the
+    // `batch` partition column comes from the directory name on read).
+    val lineage = pending.groupBy(col("src_file").as("file"))
+      .agg(count(lit(1)).as("row_count"))
+      .select(lit(cfg.snapshotId).as("snapshot_id"), col("file"), col("row_count"))
+    lineage.write.mode("overwrite").parquet(s"$outDir/lineage/batch=$batchId")
+
+    // metrics from the accumulator (per-partition; task retries may
+    // duplicate entries — metrics are diagnostic, lineage is the ledger)
+    import scala.jdk.CollectionConverters._
+    val m = metricsAcc.value.asScala.toSeq
+    if (m.nonEmpty)
+      m.toDF().write.mode("overwrite").parquet(s"$outDir/metrics/batch=$batchId")
+
+    // checkpoint LAST: marks the batch committed
+    spark.createDataset(pendingFiles).toDF("file")
+      .withColumn("snapshot_id", lit(cfg.snapshotId))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(ckptPath)
+
+    RunSummary(batchId, pendingFiles.size.toLong, rows, done.size.toLong)
+  }
+
+  /** All extracted rows across batches. refreshByPath first: a resume run
+    * in the same session may have overwritten a batch directory this
+    * session already listed, and Spark's FileStatusCache would otherwise
+    * serve the stale (pre-overwrite) file list.
+    */
+  def readExtracted(spark: SparkSession, outDir: String): DataFrame = {
+    spark.catalog.refreshByPath(s"$outDir/extracted")
+    spark.read.parquet(s"$outDir/extracted/batch=*")
+  }
+}

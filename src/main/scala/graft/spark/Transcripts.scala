@@ -1,0 +1,107 @@
+package graft.spark
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Transcript-table access.
+  *
+  * `derive` builds the transcripts table deterministically from the
+  * driver's parquet tables (lineitem x documents) with *algebraically
+  * reproducible* text: every transformation is expressible in ANSI SQL,
+  * so the DuckDB oracle can regenerate the exact input HTML and the
+  * expected outputs of parse-level queries (SparkEntry.oracleSql). The
+  * documents join is broadcast (dimension side is 500..5000 rows) — no
+  * shuffle at any scale.
+  */
+object Transcripts {
+
+  /** The HTML template. Two content blocks (document prose + order
+    * facts) inside div#main, boilerplate around them. Shape chosen so:
+    *  - toHtml round-trips the input exactly (all pair tags nonempty);
+    *  - extract_main output = "Conversation record\n" + doc + "\n" + facts;
+    *  - 3 hrefs per turn in document order;
+    *  - constant 38-token/38-node DOM.
+    */
+  def textSqlExpr: String =
+    """concat(
+      |'<html><head><title>conv</title><meta charset="utf-8"></head><body>',
+      |'<nav><a href="/home">Home</a> <a href="/about">About</a></nav>',
+      |'<div class="main" id="main"><h1>Conversation record</h1>',
+      |'<p>', dtext, '</p>',
+      |'<p>order ', okey, ' line ', lnum, ' flag ', rf, ' status ', ls, '</p>',
+      |'<a href="/ord/', okey, '/', lnum, '">details</a></div>',
+      |'<footer><p>footer boilerplate text</p></footer></body></html>')"""
+      .stripMargin.replace("\n", "")
+
+  /** Deterministic transcripts from driver testdata at `dir`.
+    * turn_idx = row_number over the unique total order
+    * (l_linenumber, l_partkey, l_suppkey) within each order — identically
+    * computable in DuckDB, so every oracle can reconstruct row identity.
+    * (The window shuffle is test-data *synthesis*, not engine work — at
+    * production scale the transcripts table already exists.)
+    */
+  def derive(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val nDocs = docs.count() // tiny dimension table; one cheap job
+
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+    li.join(broadcast(docs), pmod(col("l_orderkey"), lit(nDocs)) === col("doc_id"))
+      .select(
+        concat(lit("conv-"), col("l_orderkey")).as("conv_id"),
+        row_number().over(w).as("turn_idx"),
+        col("text").as("dtext"),
+        col("l_orderkey").cast("string").as("okey"),
+        col("l_linenumber").cast("string").as("lnum"),
+        col("l_returnflag").as("rf"),
+        col("l_linestatus").as("ls"),
+        col("l_shipdate").cast("timestamp").as("ts")) // parquet reads ntz; input_hint wants timestamp
+      .select(
+        col("conv_id"),
+        col("turn_idx"),
+        expr("CASE turn_idx % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END").as("role"),
+        expr(textSqlExpr).as("text"),
+        expr("CASE WHEN turn_idx % 3 = 2 THEN 'browser' ELSE '' END").as("tool"),
+        col("ts"))
+  }
+
+  /** DuckDB CTE regenerating the same transcripts (oracle-side input). */
+  val OracleCte: String =
+    """WITH t AS (
+      |  SELECT 'conv-' || l_orderkey AS conv_id,
+      |         CAST(row_number() OVER (PARTITION BY l_orderkey
+      |             ORDER BY l_linenumber, l_partkey, l_suppkey) AS INT) AS turn_idx,
+      |         d.text AS dtext,
+      |         CAST(l_orderkey AS VARCHAR) AS okey,
+      |         CAST(l_linenumber AS VARCHAR) AS lnum,
+      |         l_returnflag AS rf, l_linestatus AS ls
+      |  FROM lineitem l
+      |  JOIN documents d
+      |    ON d.doc_id = l.l_orderkey % (SELECT count(*) FROM documents)
+      |)""".stripMargin
+
+  /** The template rendered as a DuckDB SQL expression (oracle side). */
+  val OracleTextExpr: String =
+    """'<html><head><title>conv</title><meta charset="utf-8"></head><body>'
+      | || '<nav><a href="/home">Home</a> <a href="/about">About</a></nav>'
+      | || '<div class="main" id="main"><h1>Conversation record</h1>'
+      | || '<p>' || dtext || '</p>'
+      | || '<p>order ' || okey || ' line ' || lnum || ' flag ' || rf || ' status ' || ls || '</p>'
+      | || '<a href="/ord/' || okey || '/' || lnum || '">details</a></div>'
+      | || '<footer><p>footer boilerplate text</p></footer></body></html>'"""
+      .stripMargin.replace("\n", "")
+
+  /** The extract_main expected output as a DuckDB SQL expression. */
+  val OracleExtractExpr: String =
+    """'Conversation record' || chr(10) || dtext || chr(10) ||
+      | 'order ' || okey || ' line ' || lnum || ' flag ' || rf || ' status ' || ls"""
+      .stripMargin.replace("\n", "")
+
+  /** Read a transcripts parquet written with the Turn schema. */
+  def read(spark: SparkSession, path: String): Dataset[Turn] = {
+    import spark.implicits._
+    spark.read.parquet(path).as[Turn]
+  }
+}

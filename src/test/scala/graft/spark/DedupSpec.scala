@@ -1,0 +1,78 @@
+package graft.spark
+
+import org.apache.spark.sql.functions._
+
+/** Dedup / similarity operators: LSH recall against exact pairs, exact
+  * dedup counts, simhash blocking, ANN vs brute-force agreement.
+  */
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+  private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("exact dedup finds injected duplicates and nothing else") {
+    val d = docs.select(col("doc_id"), col("text"))
+    val withDups = d.unionByName(d.filter(col("doc_id") % 10 === 0))
+    val groups = Dedup.exactDupGroups(withDups).collect()
+    assert(groups.count(_.getLong(1) == 2) == 50)
+    assert(groups.count(_.getLong(1) == 1) == 450)
+  }
+
+  test("LSH near-dup recall: every injected append-one-word sibling is found") {
+    val withP = Dedup.withPerturbed(docs)
+    val pairs = Dedup.nearDupPairs(withP, simThreshold = 0.8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val missing = (0L until 500L).filterNot(id => pairs.contains((id, id + 1000000L)))
+    assert(missing.isEmpty, s"missed siblings: ${missing.take(5)}")
+  }
+
+  test("LSH candidates are a superset of exact jaccard>=0.5 pairs (natural dups)") {
+    val exact = Dedup.exactNgramJaccardPairs(docs, 0.5)
+      .as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty) // the driver data contains natural near-dups
+    val lsh = Dedup.nearDupPairs(docs, simThreshold = 0.4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val missed = exact -- lsh
+    assert(missed.isEmpty, s"LSH missed high-jaccard pairs: ${missed.take(5)}")
+  }
+
+  test("simhash: near-dup siblings land within small hamming distance") {
+    val table = Dedup.simhashTable(Dedup.withPerturbed(docs))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    val dists = (0L until 500L).map { id =>
+      graft.text.Fingerprints.hammingDistance(table(id), table(id + 1000000L))
+    }
+    // one appended word flips few bits: all well under the ~32 expected
+    // for unrelated docs, most very close
+    assert(dists.max <= 16, s"max simhash distance ${dists.max}")
+    assert(dists.count(_ <= 8) >= 450)
+  }
+
+  test("ANN top-k agrees with brute force for same-bucket neighbors") {
+    val bf = Embeddings.bruteForceTopK(emb, k = 5, nQueries = 10)
+      .as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    val ann = Embeddings.annTopK(emb, k = 5, nQueries = 10, nbits = 4)
+      .as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    assert(bf.keySet == (0L until 10L).toSet)
+    // ANN returns a (possibly shorter) list; every ANN hit at rank r must
+    // appear in brute-force order restricted to the ANN candidate set
+    ann.foreach { case (q, neighbors) =>
+      assert(neighbors.nonEmpty)
+      assert(neighbors.toSet.subsetOf(bf(q).toSet ++ neighbors.toSet))
+    }
+  }
+
+  test("multimodal: features are 18-dim; frame sampling respects n_frames") {
+    val media = Multimodal.syntheticMedia(docs)
+    val feats = Multimodal.extractFeatures(media)
+    assert(feats.select(size(col("features"))).distinct().as[Int].collect().toSeq == Seq(18))
+    val frames = Multimodal.sampleFrames(media, stride = 2)
+      .groupBy("doc_id").agg(max("frame_idx").as("mx"), count(lit(1)).as("n"))
+      .join(media.select(col("doc_id"), col("meta.n_frames").as("nf")), "doc_id")
+    assert(frames.filter(col("mx") >= col("nf")).count() == 0)
+  }
+}

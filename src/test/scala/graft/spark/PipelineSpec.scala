@@ -1,0 +1,128 @@
+package graft.spark
+
+import graft.extract.Extractor
+import org.apache.spark.sql.functions._
+
+/** Pipeline correctness: per-turn equality vs the pure-function oracle,
+  * reassembly ordering, resume idempotency (including a simulated crash
+  * between data write and checkpoint write), quirk templates end-to-end.
+  */
+class PipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Quirk-template transcripts (FIXTURES.md §3) — deterministic, includes
+    * malformed HTML so the pipeline's error accounting is exercised.
+    */
+  private def quirkTurns = {
+    val templates = Seq(
+      "<div id='a'>clean simple content here</div>",
+      "<p><b>span restricted</p></b> trailing",
+      "text <div",                                     // Q1 unterminated
+      "<HT<!-- c -->ML> <p>after comment split</p>",   // Q11
+      "<script>if(a<b){}</script><p>script mangling body text</p>", // Q9
+      "﻿<a href='x'>bom link</a><p>bom stripped content text</p>", // Q19
+      "<div><div></div> <p>outer div unmatched content</p>"          // Q17
+    )
+    val rows = for {
+      conv <- 0 until 20
+      turn <- 0 until (1 + conv % 7) // skewed lengths
+    } yield Turn(f"c-$conv%03d", turn, "user",
+      templates((conv * 7 + turn) % templates.size) + s" <p>conv $conv turn $turn filler</p>",
+      "", new java.sql.Timestamp(1700000000000L + conv * 1000L + turn))
+    rows
+  }
+
+  test("per-turn extraction equals the pure-function oracle (north_rule)") {
+    val turns = quirkTurns
+    val df = spark.createDataset(turns).toDF()
+    val out = Pipeline.reassembled(Pipeline.extractTurns(df)).collect()
+    assert(out.length == turns.size)
+    val byKey = out.map(e => (e.conv_id, e.turn_idx) -> e).toMap
+    turns.foreach { t =>
+      val e = byKey((t.conv_id, t.turn_idx))
+      val oracle = Extractor.extract(t.text)
+      assert(e.extracted_text == oracle.text, s"turn ${t.conv_id}/${t.turn_idx}")
+      assert(e.spans.map(s => (s.start, s.end, s.kind)) ==
+        oracle.spans.map(s => (s.start, s.end, s.kind)))
+      assert(e.n_nodes == oracle.nNodes && e.n_errors == oracle.nErrors)
+    }
+  }
+
+  test("reassembled output is sorted by (conv_id, turn_idx) within partitions") {
+    val df = spark.createDataset(quirkTurns).toDF()
+    val parts = Pipeline.reassembled(Pipeline.extractTurns(df))
+      .mapPartitions { it =>
+        val keys = it.map(e => (e.conv_id, e.turn_idx)).toVector
+        Iterator.single(keys == keys.sorted)
+      }.collect()
+    assert(parts.forall(identity))
+  }
+
+  test("conversations reassembly joins turns in order") {
+    val df = spark.createDataset(quirkTurns).toDF()
+    val convs = Pipeline.conversations(Pipeline.extractTurns(df))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val expected = quirkTurns.groupBy(_.conv_id).map { case (c, ts) =>
+      c -> ts.sortBy(_.turn_idx).map(t => Extractor.extract(t.text).text).mkString("\n")
+    }
+    expected.foreach { case (c, text) =>
+      assert(convs(c).getAs[String]("conv_text") == text, s"conv $c")
+    }
+  }
+
+  test("resumable run: second run is a no-op; crash before checkpoint is idempotent") {
+    val dir = tmpDir("graft-pipe")
+    val inPath = s"$dir/transcripts"
+    val outDir = s"$dir/out"
+    // write transcripts as 4 files so the checkpoint has multiple units
+    spark.createDataset(quirkTurns).toDF().repartition(4)
+      .write.parquet(inPath)
+
+    val r1 = Pipeline.runResumable(spark, inPath, outDir)
+    assert(r1.filesProcessed == 4 && r1.skippedFiles == 0)
+    val total1 = Pipeline.readExtracted(spark, outDir).count()
+    assert(total1 == quirkTurns.size)
+
+    // rerun: everything checkpointed -> no-op
+    val r2 = Pipeline.runResumable(spark, inPath, outDir)
+    assert(r2.filesProcessed == 0 && r2.skippedFiles == 4)
+    assert(Pipeline.readExtracted(spark, outDir).count() == total1)
+
+    // simulate crash: wipe the checkpoint of the last batch but keep data,
+    // as if we died between data write and checkpoint write
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$outDir/checkpoint"), true)
+    val r3 = Pipeline.runResumable(spark, inPath, outDir)
+    assert(r3.batchId == r1.batchId) // deterministic batch id
+    assert(Pipeline.readExtracted(spark, outDir).count() == total1) // no dupes
+    // lineage rows are idempotent per batch (4 files, one batch)
+    spark.catalog.refreshByPath(s"$outDir/lineage")
+    assert(spark.read.parquet(s"$outDir/lineage").count() == 4)
+    // metrics table accounts for every turn of the batch, exactly once
+    spark.catalog.refreshByPath(s"$outDir/metrics")
+    val m = spark.read.parquet(s"$outDir/metrics")
+    assert(m.filter(col("batch") === r1.batchId)
+      .agg(sum("n_turns")).head.getLong(0) == quirkTurns.size)
+  }
+
+  test("oversize guard: huge turns counted, not parsed, never dropped") {
+    val big = Turn("c-big", 0, "user", "<div>" + ("x" * 2000) + "</div>", "",
+      new java.sql.Timestamp(0))
+    val df = spark.createDataset(Seq(big)).toDF()
+    val out = Pipeline.extractTurns(df, Pipeline.Config(maxTextChars = 100)).collect()
+    assert(out.length == 1)
+    assert(out.head.extracted_text == "" && out.head.n_errors == 1)
+  }
+
+  test("transcripts derivation: schema matches input_hint; turn_idx unique per conv") {
+    val t = Transcripts.derive(spark, sf)
+    assert(t.schema.map(f => (f.name, f.dataType.simpleString)) == Seq(
+      "conv_id" -> "string", "turn_idx" -> "int", "role" -> "string",
+      "text" -> "string", "tool" -> "string", "ts" -> "timestamp"))
+    val dup = t.groupBy("conv_id", "turn_idx").count().filter(col("count") > 1).count()
+    assert(dup == 0)
+  }
+}
