@@ -14,6 +14,11 @@ import scala.collection.mutable.ArrayBuffer
   * per-parse and never shared across threads; the Spark layer converts
   * trees to flat NodeRow arenas before anything crosses a task boundary.
   *
+  * Perf notes (this runs per-token for 10^12-turn corpora): `childs` and
+  * `params` are lazily allocated — text/leaf nodes (the majority) never
+  * materialize either; serializers append into one shared StringBuilder
+  * instead of building per-node strings.
+  *
   * Quirk ledger references (Q1..Q27) are SURVEY.md §2.5.
   */
 final class HtmlNode private[parser] () {
@@ -24,10 +29,30 @@ final class HtmlNode private[parser] () {
   private[parser] var iscomment: Boolean = false
   private[parser] var isnonpairtag: Boolean = false
 
-  /** Nested nodes, in document order (dhtmlparser.d:34). */
-  var childs: ArrayBuffer[HtmlNode] = new ArrayBuffer[HtmlNode]()
+  private[parser] var _childs: ArrayBuffer[HtmlNode] = null
+  private[parser] var _params: mutable.HashMap[String, String] = null
+
+  /** Nested nodes, in document order (dhtmlparser.d:34). Lazily allocated;
+    * accessing this on a leaf materializes an empty buffer.
+    */
+  def childs: ArrayBuffer[HtmlNode] = {
+    if (_childs == null) _childs = new ArrayBuffer[HtmlNode](4)
+    _childs
+  }
+  def childs_=(v: ArrayBuffer[HtmlNode]): Unit = _childs = v
+
   /** Tag parameters; keys are stored lowercased (dhtmlparser.d:36,399). */
-  var params: mutable.HashMap[String, String] = new mutable.HashMap[String, String]()
+  def params: mutable.HashMap[String, String] = {
+    if (_params == null) _params = new mutable.HashMap[String, String]()
+    _params
+  }
+  def params_=(v: mutable.HashMap[String, String]): Unit = _params = v
+
+  @inline private[graft] def hasChilds: Boolean = _childs != null && _childs.nonEmpty
+  @inline private[graft] def hasParams: Boolean = _params != null && _params.nonEmpty
+  @inline private[graft] def foreachChild(f: HtmlNode => Unit): Unit =
+    if (_childs != null) { var i = 0; while (i < _childs.length) { f(_childs(i)); i += 1 } }
+
   var endtag: HtmlNode = null
   var openertag: HtmlNode = null
 
@@ -59,7 +84,8 @@ final class HtmlNode private[parser] () {
 
   /** Q1: tag iff starts with '<' and ends with '>' (dhtmlparser.d:287-292). */
   private def parseIsTag(): Unit =
-    istag = element.startsWith("<") && element.endsWith(">")
+    istag = element.length >= 2 && element.charAt(0) == '<' &&
+      element.charAt(element.length - 1) == '>'
 
   /** Q3: quote-blind endtag scan — any '/' whose last preceding char >32
     * was '<' (dhtmlparser.d:294-306). D char.init = 0xFF.
@@ -67,7 +93,7 @@ final class HtmlNode private[parser] () {
   private def parseIsEndTag(): Unit = {
     var last: Char = 0xFF.toChar
     isendtag = false
-    if (element.startsWith("<") && element.endsWith(">")) {
+    if (istag) {
       var i = 0
       while (i < element.length) {
         val c = element.charAt(i)
@@ -84,7 +110,7 @@ final class HtmlNode private[parser] () {
   private def parseIsNonPairTag(): Unit = {
     var last: Char = 0xFF.toChar
     isnonpairtag = false
-    if (element.startsWith("<") && element.endsWith(">")) {
+    if (istag) {
       var i = 0
       while (i < element.length) {
         val c = element.charAt(i)
@@ -110,7 +136,7 @@ final class HtmlNode private[parser] () {
       val sp = element.indexOf(' ', start)
       val end = if (sp < 0) n else sp
       if (end > start) {
-        val tok = stripChars(element.substring(start, end))
+        val tok = stripChars(element, start, end)
         if (tok.length > 0) { tagname = tok; return }
       }
       if (sp < 0) return
@@ -118,11 +144,11 @@ final class HtmlNode private[parser] () {
     }
   }
 
-  /** Delete all '/', '<', '>' chars (dhtmlparser.d:355). */
-  private def stripChars(s: String): String = {
-    val out = new java.lang.StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
+  /** Delete all '/', '<', '>' chars from element[from, until) (dhtmlparser.d:355). */
+  private def stripChars(s: String, from: Int, until: Int): String = {
+    val out = new java.lang.StringBuilder(until - from)
+    var i = from
+    while (i < until) {
       val c = s.charAt(i)
       if (c != '/' && c != '<' && c != '>') out.append(c)
       i += 1
@@ -225,18 +251,27 @@ final class HtmlNode private[parser] () {
     if (!isOpeningTag) element
     else {
       val out = new java.lang.StringBuilder(element.length + 8)
-      out.append('<').append(tagname)
-      val keys = params.keysIterator.toArray
+      tagToStringInto(out)
+      out.toString
+    }
+  }
+
+  private def tagToStringInto(out: java.lang.StringBuilder): Unit = {
+    if (!isOpeningTag) { out.append(element); return }
+    out.append('<').append(tagname)
+    if (_params != null && _params.nonEmpty) {
+      val keys = _params.keysIterator.toArray
       java.util.Arrays.sort(keys.asInstanceOf[Array[AnyRef]])
       var i = 0
       while (i < keys.length) {
         val k = keys(i)
         out.append(' ').append(k).append("=\"")
-          .append(QuoteEscaper.escape(params(k), '"')).append('"')
+        QuoteEscaper.escapeInto(_params(k), '"', out)
+        out.append('"')
         i += 1
       }
-      out.append('>').toString
     }
+    out.append('>')
   }
 
   /** Q14: concat of prettify() of non-endtag children, minus exactly one
@@ -244,10 +279,10 @@ final class HtmlNode private[parser] () {
     */
   def getContent: String = {
     val out = new java.lang.StringBuilder(64)
-    childs.foreach { c => if (!c.isEndTag) out.append(c.prettify()) }
-    var s = out.toString
-    if (s.endsWith("\n")) s = s.substring(0, s.length - 1)
-    s
+    foreachChild { c => if (!c.isEndTag) c.prettifyInto(out, 0, "  ", false, false) }
+    if (out.length > 0 && out.charAt(out.length - 1) == '\n')
+      out.setLength(out.length - 1)
+    out.toString
   }
 
   /** Q15: pretty printer (dhtmlparser.d:533-587): whitespace-only-element
@@ -256,42 +291,51 @@ final class HtmlNode private[parser] () {
     */
   def prettify(depth: Int = 0, separator: String = "  ", last: Boolean = true,
                pre0: Boolean = false, inline0: Boolean = false): String = {
+    val out = new java.lang.StringBuilder(128)
+    prettifyInto(out, depth, separator, pre0, inline0)
+    out.toString
+  }
+
+  private def prettifyInto(out: java.lang.StringBuilder, depth: Int,
+                           separator: String, pre0: Boolean, inline0: Boolean): Unit = {
     var pre = pre0
     var inline = inline0
     var sep = separator
-    val out = new java.lang.StringBuilder(64)
+    val tts = tagToString // computed once; the node can't mutate mid-render
 
-    if (getTagName != "" && Ascii.strip(tagToString) == "") return ""
+    // whitespace-only element elision (dhtmlparser.d:536-537)
+    if (tagname != "" && Ascii.strip(tts) == "") return
 
     if (!pre && !inline) {
       var i = 0
       while (i < depth) { out.append(sep); i += 1 }
     }
 
-    if (Ascii.equalsLower(getTagName, "pre") && isOpeningTag) {
+    if (Ascii.equalsLower(tagname, "pre") && isOpeningTag) {
       pre = true
       sep = ""
     }
 
-    out.append(tagToString)
+    out.append(tts)
 
     // detect inline: any non-tag non-comment child with nonblank text
     // (dhtmlparser.d:553-557). is_inline remembers the *parameter* value.
     val isInline = inline
-    childs.foreach { c =>
+    foreachChild { c =>
       if (!(c.isTag || c.isComment) && Ascii.strip(c.tagToString).nonEmpty)
         inline = true
     }
 
     var d = depth
     val originalDepth = depth
-    if (getTagName != "" && !pre && !inline) {
+    if (tagname != "" && !pre && !inline) {
       d += 1
-      if (Ascii.strip(tagToString) != "") out.append('\n')
+      if (Ascii.strip(tts) != "") out.append('\n')
     }
 
-    childs.foreach { e =>
-      if (!e.isEndTag) out.append(e.prettify(d, sep, last = false, pre, inline))
+    val dd = d; val ss = sep; val pp = pre; val ii = inline
+    foreachChild { e =>
+      if (!e.isEndTag) e.prettifyInto(out, dd, ss, pp, ii)
     }
 
     if (endtag != null) {
@@ -302,21 +346,23 @@ final class HtmlNode private[parser] () {
       out.append(Ascii.strip(endtag.tagToString))
       if (!isInline) out.append('\n')
     }
-
-    out.toString
   }
 
   /** Q13: original-string reconstruction (dhtmlparser.d:601-616). */
   def toHtml: String = {
     val out = new java.lang.StringBuilder(64)
-    if (childs.nonEmpty) {
-      out.append(element)
-      childs.foreach(c => out.append(c.toHtml))
-      if (endtag != null) out.append(endtag.tagToString)
-    } else if (!isEndTag) {
-      out.append(tagToString)
-    }
+    toHtmlInto(out)
     out.toString
+  }
+
+  private def toHtmlInto(out: java.lang.StringBuilder): Unit = {
+    if (hasChilds) {
+      out.append(element)
+      foreachChild(_.toHtmlInto(out))
+      if (endtag != null) endtag.tagToStringInto(out)
+    } else if (!isEndTag) {
+      tagToStringInto(out)
+    }
   }
 
   override def toString: String = toHtml
@@ -335,11 +381,11 @@ final class HtmlNode private[parser] () {
     val want = if (tagName == null) "" else tagName
     if (mine == want && mine != "") {
       if (sparams == null || sparams.isEmpty) return true
-      else if (params.nonEmpty) {
+      else if (hasParams) {
         val it = sparams.iterator
         while (it.hasNext) {
           val (k, v) = it.next()
-          params.get(k) match {
+          _params.get(k) match {
             case Some(pv) => if (pv != v) return false
             case None => return false
           }
@@ -356,7 +402,7 @@ final class HtmlNode private[parser] () {
     val out = new ArrayBuffer[HtmlNode]()
     def walk(n: HtmlNode): Unit = {
       if (n.isAlmostEqual(tagName, sparams, fn)) out += n
-      n.childs.foreach(walk)
+      n.foreachChild(walk)
     }
     walk(this)
     out
@@ -370,12 +416,12 @@ final class HtmlNode private[parser] () {
     val out = new ArrayBuffer[HtmlNode]()
     if (isAlmostEqual(tagName, sparams, fn)) out += this
     val queue = new ArrayBuffer[HtmlNode]()
-    queue ++= childs
+    foreachChild(queue += _)
     var i = 0
     while (i < queue.length) {
       val el = queue(i)
       if (el.isAlmostEqual(tagName, sparams, fn)) out += el
-      if (el.childs.nonEmpty) queue ++= el.childs
+      el.foreachChild(queue += _)
       i += 1
     }
     out
@@ -398,7 +444,7 @@ final class HtmlNode private[parser] () {
     isnonpairtag = v
     if (!v) {
       endtag = null
-      childs = new ArrayBuffer[HtmlNode]()
+      _childs = null
     }
   }
 
@@ -406,8 +452,8 @@ final class HtmlNode private[parser] () {
     * (dhtmlparser.d:668-681).
     */
   def replaceWith(el: HtmlNode): Unit = {
-    childs = el.childs
-    params = el.params
+    _childs = el._childs
+    _params = el._params
     endtag = el.endtag
     openertag = el.openertag
     tagname = el.getTagName
@@ -426,13 +472,13 @@ final class HtmlNode private[parser] () {
     * the stale last slot (duplicate of the old last element) is visited.
     */
   def removeChild(child: HtmlNode, endTagToo: Boolean = true): Unit = {
-    if (childs.isEmpty) return
+    if (!hasChilds) return
     var endTag: HtmlNode = null
     if (endTagToo) endTag = child.endtag
 
-    val origLen = childs.length
+    val origLen = _childs.length
     val mem = new Array[HtmlNode](origLen)
-    childs.copyToArray(mem)
+    _childs.copyToArray(mem)
     var len = origLen
     var i = 0
     while (i < origLen) {
@@ -453,7 +499,7 @@ final class HtmlNode private[parser] () {
     val nb = new ArrayBuffer[HtmlNode](len)
     var k = 0
     while (k < len) { nb += mem(k); k += 1 }
-    childs = nb
+    _childs = nb
   }
 }
 
@@ -464,7 +510,7 @@ object HtmlNode {
   val NonPairTags: Set[String] =
     Set("br", "hr", "img", "input", "link", "meta", "spacer", "frame", "base")
 
-  /** Blank container node (root of a DOM; dhtmlparser.d:40-42). */
+  /** Blank container node (root of the DOM; dhtmlparser.d:40-42). */
   def container(): HtmlNode = fromRaw("")
 
   /** Classify one raw token (ctor at dhtmlparser.d:47-69). */

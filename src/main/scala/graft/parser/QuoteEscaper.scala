@@ -29,6 +29,12 @@ object QuoteEscaper {
 
   def escape(input: String, quote: Char = '"'): String = {
     val out = new java.lang.StringBuilder(input.length + 8)
+    escapeInto(input, quote, out)
+    out.toString
+  }
+
+  /** escape() appending into an existing builder (no intermediate String). */
+  def escapeInto(input: String, quote: Char, out: java.lang.StringBuilder): Unit = {
     var i = 0
     while (i < input.length) {
       val c = input.charAt(i)
@@ -36,6 +42,5 @@ object QuoteEscaper {
       out.append(c)
       i += 1
     }
-    out.toString
   }
 }

@@ -33,6 +33,19 @@ object Transcripts {
       |'<footer><p>footer boilerplate text</p></footer></body></html>')"""
       .stripMargin.replace("\n", "")
 
+  // One persisted copy per (session, dir): every harness query starts from
+  // the same transcripts table; re-deriving (join + window) per query would
+  // measure input *synthesis*, not the engine. In production the table
+  // already exists — this cache models that.
+  private val deriveCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def derive(spark: SparkSession, dir: String): DataFrame =
+    deriveCache.computeIfAbsent((spark, dir), { _ =>
+      deriveUncached(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   /** Deterministic transcripts from driver testdata at `dir`.
     * turn_idx = row_number over the unique total order
     * (l_linenumber, l_partkey, l_suppkey) within each order — identically
@@ -40,7 +53,7 @@ object Transcripts {
     * (The window shuffle is test-data *synthesis*, not engine work — at
     * production scale the transcripts table already exists.)
     */
-  def derive(spark: SparkSession, dir: String): DataFrame = {
+  def deriveUncached(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val docs = spark.read.parquet(s"$dir/documents.parquet")

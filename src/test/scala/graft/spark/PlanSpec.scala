@@ -1,0 +1,60 @@
+package graft.spark
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan shape gates: these fail if a refactor breaks column
+  * pruning, broadcast sizing, or partial aggregation — the properties
+  * that keep the 100 TB plan viable.
+  */
+class PlanSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def turnsParquet: String = {
+    val dir = tmpDir("plan") + "/turns"
+    val rows = (0 until 100).map(i => Turn(s"c$i", 0, "user",
+      s"<p>row $i content body</p>", "tool-x", new java.sql.Timestamp(0)))
+    spark.createDataset(rows).toDF().write.parquet(dir)
+    dir
+  }
+
+  test("pipeline scan prunes to (conv_id, turn_idx, text) — role/tool/ts never read") {
+    val df = spark.read.parquet(turnsParquet)
+    val plan = Pipeline.extractTurns(df).queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("conv_id") && readSchema.contains("text"))
+    assert(!readSchema.contains("role") && !readSchema.contains("tool") && !readSchema.contains("ts:"))
+  }
+
+  test("documents join in derive is broadcast (no shuffle for the dimension)") {
+    val plan = Transcripts.deriveUncached(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast join in derive plan")
+  }
+
+  test("role metrics aggregation is partial+final (map-side combine)") {
+    val t = Transcripts.derive(spark, sf)
+    val agg = t.groupBy("role").agg(count(lit(1)))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"))
+    // partial agg appears before the exchange
+    val firstAgg = plan.indexOf("HashAggregate")
+    val exchange = plan.indexOf("Exchange")
+    assert(firstAgg >= 0 && exchange >= 0)
+  }
+
+  test("embedding top-k broadcasts the query side, never the corpus") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val plan = Embeddings.bruteForceTopK(emb, 5, 10).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"))
+  }
+
+  test("extraction UDF plan stays a single projection over the scan (no extra shuffle)") {
+    val df = spark.read.parquet(turnsParquet)
+    val q = df.select(col("conv_id"), col("turn_idx"),
+      HtmlFunctions.extractMainText(col("text")).as("x"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "extract projection must not shuffle")
+  }
+}
