@@ -97,14 +97,89 @@ object HtmlParser {
     0
   }
 
-  /** Q18: recursive span-restricted tree construction (dhtmlparser.d:895-922):
-    * matched pair -> recurse into the exclusive slice, double-link
+  /** Optimized same-semantics tree builder: O(n) instead of the
+    * reference's O(n^2) rescan.
+    *
+    * Correctness argument (gated by the ScalaCheck equivalence property in
+    * TreeBuilderEquivalenceSpec): the reference's indexOfEndTag scans only
+    * FORWARD of the current index, while parseDOM's flag mutations only
+    * touch positions <= the current index (the element itself, or inner
+    * slices the loop then jumps past), so every scan observes pristine
+    * classifier flags. A scan from i bounded by `until` returns the first
+    * same-name ender j with flat opener/ender balance 0 between — which is
+    * exactly global per-tagname bracket pairing, restricted to j < until.
+    * So we pair once globally (one pass, a stack per tagname) and validate
+    * each pair against the current slice limit during construction.
+    */
+  private[parser] def computeMatches(istack: Array[HtmlNode]): Array[Int] = {
+    val matches = Array.fill(istack.length)(-1)
+    val stacks = new java.util.HashMap[String, java.util.ArrayDeque[Integer]]()
+    var i = 0
+    while (i < istack.length) {
+      val el = istack(i)
+      if (el.isOpeningTag) {
+        var st = stacks.get(el.getTagName)
+        if (st == null) { st = new java.util.ArrayDeque[Integer](); stacks.put(el.getTagName, st) }
+        st.push(i)
+      } else if (el.isEndTag) {
+        val st = stacks.get(el.getTagName)
+        if (st != null && !st.isEmpty) {
+          // isEndTagTo also requires the opener be an opening tag — it is,
+          // we only pushed opening tags
+          matches(st.pop()) = i
+        }
+      }
+      i += 1
+    }
+    matches
+  }
+
+  private[parser] def parseDOM(istack: Array[HtmlNode], from: Int, until: Int,
+                               counters: Array[Int]): ArrayBuffer[HtmlNode] = {
+    val matches = computeMatches(istack)
+    parseDOMFast(istack, matches, from, until, counters)
+  }
+
+  private def parseDOMFast(istack: Array[HtmlNode], matches: Array[Int],
+                           from: Int, until: Int,
+                           counters: Array[Int]): ArrayBuffer[HtmlNode] = {
+    val ostack = new ArrayBuffer[HtmlNode]()
+    var index = from
+    while (index < until) {
+      val el = istack(index)
+      val m = matches(index)
+      val matched = m > index && m < until
+
+      if (!el.isNonPairTag && !matched && !el.isEndTag) {
+        el.setNonPairTag(true)
+        if (counters != null && el.isTag && !el.isComment) counters(0) += 1
+      }
+
+      if (matched) {
+        el.childs = parseDOMFast(istack, matches, index + 1, m, counters)
+        el.endtag = istack(m)
+        el.endtag.openertag = el
+        ostack += el
+        ostack += el.endtag
+        index = m
+      } else {
+        if (!el.isEndTag) ostack += el
+        else if (counters != null && (el.openertag == null)) counters(1) += 1
+        index += 1
+      }
+    }
+    ostack
+  }
+
+  /** The reference's literal O(n^2) construction (dhtmlparser.d:895-922):
+    * kept as the equivalence oracle for the optimized builder; matched
+    * pair -> recurse into the exclusive slice, double-link
     * endtag/openertag, endtag appended as the sibling after the opener;
     * unmatched non-endtag -> forced nonpair leaf (this also marks text and
     * comment nodes nonpair, as the reference does); stray endtag -> dropped.
     */
-  private[parser] def parseDOM(istack: Array[HtmlNode], from: Int, until: Int,
-                               counters: Array[Int] = null): ArrayBuffer[HtmlNode] = {
+  private[parser] def parseDOMFaithful(istack: Array[HtmlNode], from: Int, until: Int,
+                                       counters: Array[Int] = null): ArrayBuffer[HtmlNode] = {
     val ostack = new ArrayBuffer[HtmlNode]()
     var index = from
     while (index < until) {
@@ -117,7 +192,7 @@ object HtmlParser {
       }
 
       if (endTagOffset != 0) {
-        el.childs = parseDOM(istack, index + 1, index + endTagOffset, counters)
+        el.childs = parseDOMFaithful(istack, index + 1, index + endTagOffset, counters)
         el.endtag = istack(index + endTagOffset)
         el.endtag.openertag = el
         ostack += el
