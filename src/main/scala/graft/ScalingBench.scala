@@ -4,30 +4,39 @@ import org.apache.spark.sql.SparkSession
 import graft.spark.{Pipeline, Transcripts}
 
 /** Two-parallelism scaling evidence (BASELINE.json: throughput@4N /
-  * (4 x throughput@N) >= 0.8 between N and 4N executors; sandbox proxy =
-  * local[N] vs local[4N] on the same input — see the task brief and
-  * BASELINE.md).
+  * (4 x throughput@N) >= 0.8 between N and 4N executors).
   *
-  * Protocol: materialize the transcripts input once to parquet (so both
-  * runs read identical bytes), then run the full extraction pipeline
-  * (salted repartition -> mapPartitions parse/extract -> reassembly) at
-  * local[N] and local[4N], each in a fresh SparkSession, warmup + timed
-  * run each. Prints one JSON line.
+  * Mode `cluster` (default when SPARK_HOME + the packaged jar exist):
+  * `local-cluster[N,coresPerExec,mem]` — N *separate executor JVMs* on
+  * this box, each with its own heap/GC, shuffling over netty. This is the
+  * closest single-machine proxy for an N-executor cluster; run `sbt
+  * package` first so executors can load the engine classes.
+  * Mode `threads`: plain local[N] vs local[4N] (shared-JVM fallback).
+  *
+  * Protocol: materialize the transcripts input once (replicated so the
+  * parallel fraction dominates fixed job overhead), fresh SparkSession
+  * per level, one full untimed warmup pass per level, min of repeated
+  * timed runs per level. Prints one JSON line.
   */
 object ScalingBench {
+  private val CoresPerExec = 4
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "8").toInt
-    val work = java.nio.file.Files.createTempDirectory(java.nio.file.Paths.get("/dev/shm"), "graft-scale").toString
-
-    // 1) materialize the input once. Replicate the derived transcripts
-    // (distinct conv_ids per replica) so the job is long enough for the
-    // parallel fraction to dominate fixed job overhead — at sf0.1 the
-    // warm job is ~3s, all scheduling constant.
+    val nExec = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt
     val repl = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPL", "8").toInt
+    val jar = findJar()
+    val mode =
+      sys.env.getOrElse("SPARK_GRAFT_MODE",
+        if (jar.isDefined && sys.env.contains("SPARK_HOME")) "cluster" else "threads")
+    val work = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/dev/shm"), "graft-scale").toString
+
+    // 1) materialize the input once (local mode — this is setup, not the
+    // measured job)
     locally {
       import org.apache.spark.sql.functions._
-      val s = session(32)
+      val s = session("local[32]", 32, None)
       val t = Transcripts.derive(s, sfDir)
       t.withColumn("rep", explode(array((0 until repl).map(lit): _*)))
         .withColumn("conv_id", concat(col("conv_id"), lit("-r"), col("rep")))
@@ -36,12 +45,18 @@ object ScalingBench {
       s.stop()
     }
 
+    def masterFor(execs: Int): (String, Int) = mode match {
+      case "cluster" =>
+        (s"local-cluster[$execs,$CoresPerExec,6144]", execs * CoresPerExec)
+      case _ => (s"local[${execs * CoresPerExec}]", execs * CoresPerExec)
+    }
+
     var cnt = 0L
-    def timed(cores: Int): Double = {
-      val s = session(cores)
+    def timed(execs: Int): Double = {
+      val (master, cores) = masterFor(execs)
+      val s = session(master, cores, if (mode == "cluster") jar else None)
       val turns = s.read.parquet(s"$work/transcripts")
-      // warmup (JIT + page cache): one full untimed pass
-      Bench.runQuery(Pipeline.reassembled(Pipeline.extractTurns(turns)).toDF())
+      Bench.runQuery(Pipeline.reassembled(Pipeline.extractTurns(turns)).toDF()) // warmup
       cnt = turns.count()
       val t0 = System.nanoTime()
       Bench.runQuery(Pipeline.reassembled(Pipeline.extractTurns(turns)).toDF())
@@ -50,30 +65,36 @@ object ScalingBench {
       sec
     }
 
-    // alternate levels twice, min per level — damps the shared-box noise
-    // and removes first-run cache bias
-    val secN = math.min(timed(n), timed(n))
-    val sec4N = math.min(timed(4 * n), timed(4 * n))
-    val secN2 = math.min(secN, timed(n))
+    val secN = math.min(timed(nExec), timed(nExec))
+    val sec4N = math.min(timed(4 * nExec), timed(4 * nExec))
+    val secN2 = math.min(secN, timed(nExec))
     val thrN = cnt / secN2
     val thr4N = cnt / sec4N
     val eff = thr4N / (4.0 * thrN)
-    println(f"""{"metric":"scaling_efficiency","value":$eff%.3f,"n_cores":$n,"n4_cores":${4 * n},"turns":$cnt,"sec_n":$secN2%.2f,"sec_4n":$sec4N%.2f,"turns_per_sec_n":$thrN%.1f,"turns_per_sec_4n":$thr4N%.1f,"sf":"$sfDir"}""")
+    println(f"""{"metric":"scaling_efficiency","value":$eff%.3f,"mode":"$mode","n_executors":$nExec,"n4_executors":${4 * nExec},"cores_per_executor":$CoresPerExec,"turns":$cnt,"sec_n":$secN2%.2f,"sec_4n":$sec4N%.2f,"turns_per_sec_n":$thrN%.1f,"turns_per_sec_4n":$thr4N%.1f,"sf":"$sfDir"}""")
   }
 
-  private def session(cores: Int): SparkSession = {
+  private def findJar(): Option[String] = {
+    val dir = new java.io.File("target/scala-2.13")
+    if (!dir.exists) return None
+    dir.listFiles.filter(f => f.getName.startsWith("dhtmlparserspark") &&
+      f.getName.endsWith(".jar")).sortBy(_.getName).lastOption.map(_.getAbsolutePath)
+  }
+
+  private def session(master: String, totalCores: Int, jar: Option[String]): SparkSession = {
     // a stopped session would otherwise be returned by getOrCreate with
     // the OLD master; force a genuinely fresh context per parallelism
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    val s = SparkSession.builder()
-      .master(s"local[$cores]")
+    var b = SparkSession.builder()
+      .master(master)
       // 3x cores: smooths stage tails (a straggler task idles fewer cores)
-      .config("spark.sql.shuffle.partitions", (cores * 3).toString)
+      .config("spark.sql.shuffle.partitions", (totalCores * 3).toString)
       .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
+    jar.foreach(j => b = b.config("spark.jars", j))
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

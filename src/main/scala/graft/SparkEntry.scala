@@ -81,6 +81,35 @@ object SparkEntry {
       val extracted = Pipeline.extractTurns(Transcripts.derive(s, dir))
       Pipeline.conversations(extracted)
     }),
+    "q_dom_nodes" -> ((s, dir) => {
+      Transcripts.derive(s, dir)
+        .select(col("conv_id"), col("turn_idx"),
+          explode(H.dom_tag_nodes(col("text"))).as("n"))
+        .select(col("conv_id"), col("turn_idx"),
+          col("n._1").as("node_id"), col("n._2").as("parent_id"),
+          col("n._3").as("pos"), col("n._4").as("depth"),
+          col("n._5").as("kind"), col("n._6").as("tagname"),
+          col("n._7").as("nonpair"))
+    }),
+    "q_bfs_order" -> ((s, dir) => {
+      Transcripts.derive(s, dir)
+        .select(col("conv_id"), col("turn_idx"),
+          explode(H.bfs_tag_order(col("text"))).as("n"))
+        .select(col("conv_id"), col("turn_idx"),
+          col("n._1").as("bfs_pos"), col("n._2").as("tagname"),
+          col("n._3").as("is_end"))
+    }),
+    "q_prettify" -> ((s, dir) => {
+      Transcripts.derive(s, dir)
+        .select(col("conv_id"), col("turn_idx"),
+          H.prettify_html(col("text")).as("pretty"))
+    }),
+    "q_remove_boilerplate" -> ((s, dir) => {
+      Transcripts.derive(s, dir)
+        .select(col("conv_id"), col("turn_idx"),
+          H.remove_tags(col("text"),
+            array(lit("nav"), lit("footer"))).as("stripped"))
+    }),
     // ===== window / agg over transcripts ==================================
     "q_turn_rn" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -177,6 +206,70 @@ object SparkEntry {
            | ELSE 'tool' END AS role, count(*) AS n,
            | sum(length($textExpr)) AS total_chars
            | FROM t GROUP BY 1""".stripMargin.replace("\n", ""),
+      "q_dom_nodes" ->
+        s"""$cte SELECT conv_id, turn_idx, v.* FROM t CROSS JOIN (VALUES
+           | (1,0,0,1,2,'html',false),(2,1,0,2,2,'head',false),
+           | (3,2,0,3,2,'title',false),(5,2,1,3,3,'title',false),
+           | (6,2,2,3,2,'meta',true),(7,1,1,2,3,'head',false),
+           | (8,1,2,2,2,'body',false),(9,8,0,3,2,'nav',false),
+           | (10,9,0,4,2,'a',false),(12,9,1,4,3,'a',false),
+           | (14,9,3,4,2,'a',false),(16,9,4,4,3,'a',false),
+           | (17,8,1,3,3,'nav',false),(18,8,2,3,2,'div',false),
+           | (19,18,0,4,2,'h1',false),(21,18,1,4,3,'h1',false),
+           | (22,18,2,4,2,'p',false),(24,18,3,4,3,'p',false),
+           | (25,18,4,4,2,'p',false),(27,18,5,4,3,'p',false),
+           | (28,18,6,4,2,'a',false),(30,18,7,4,3,'a',false),
+           | (31,8,3,3,3,'div',false),(32,8,4,3,2,'footer',false),
+           | (33,32,0,4,2,'p',false),(35,32,1,4,3,'p',false),
+           | (36,8,5,3,3,'footer',false),(37,1,3,2,3,'body',false),
+           | (38,0,1,1,3,'html',false)
+           |) AS v(node_id,parent_id,pos,depth,kind,tagname,nonpair)"""
+          .stripMargin.replace("\n", ""),
+      "q_bfs_order" ->
+        s"""$cte SELECT conv_id, turn_idx, v.* FROM t CROSS JOIN (VALUES
+           | (0,'html',false),(1,'html',true),(2,'head',false),
+           | (3,'head',true),(4,'body',false),(5,'body',true),
+           | (6,'title',false),(7,'title',true),(8,'meta',false),
+           | (9,'nav',false),(10,'nav',true),(11,'div',false),
+           | (12,'div',true),(13,'footer',false),(14,'footer',true),
+           | (15,'a',false),(16,'a',true),(17,'a',false),(18,'a',true),
+           | (19,'h1',false),(20,'h1',true),(21,'p',false),(22,'p',true),
+           | (23,'p',false),(24,'p',true),(25,'a',false),(26,'a',true),
+           | (27,'p',false),(28,'p',true)
+           |) AS v(bfs_pos,tagname,is_end)""".stripMargin.replace("\n", ""),
+      "q_prettify" ->
+        s"""$cte SELECT conv_id, turn_idx,
+           | '<html>' || chr(10) ||
+           | '  <head>' || chr(10) ||
+           | '    <title>conv</title>' || chr(10) ||
+           | '    <meta charset="utf-8">' || chr(10) ||
+           | '  </head>' || chr(10) ||
+           | '  <body>' || chr(10) ||
+           | '    <nav>' || chr(10) ||
+           | '      <a href="/home">Home</a>' || chr(10) ||
+           | '      <a href="/about">About</a>' || chr(10) ||
+           | '    </nav>' || chr(10) ||
+           | '    <div class="main" id="main">' || chr(10) ||
+           | '      <h1>Conversation record</h1>' || chr(10) ||
+           | '      <p>' || dtext || '</p>' || chr(10) ||
+           | '      <p>order ' || okey || ' line ' || lnum || ' flag ' || rf || ' status ' || ls || '</p>' || chr(10) ||
+           | '      <a href="/ord/' || okey || '/' || lnum || '">details</a>' || chr(10) ||
+           | '    </div>' || chr(10) ||
+           | '    <footer>' || chr(10) ||
+           | '      <p>footer boilerplate text</p>' || chr(10) ||
+           | '    </footer>' || chr(10) ||
+           | '  </body>' || chr(10) ||
+           | '</html>' || chr(10) AS pretty FROM t"""
+          .stripMargin.replace("\n", ""),
+      "q_remove_boilerplate" ->
+        s"""$cte SELECT conv_id, turn_idx,
+           | '<html><head><title>conv</title><meta charset="utf-8"></head><body>'
+           | || '<div class="main" id="main"><h1>Conversation record</h1>'
+           | || '<p>' || dtext || '</p>'
+           | || '<p>order ' || okey || ' line ' || lnum || ' flag ' || rf || ' status ' || ls || '</p>'
+           | || '<a href="/ord/' || okey || '/' || lnum || '">details</a></div>'
+           | || '</body></html>' AS stripped FROM t"""
+          .stripMargin.replace("\n", ""),
       "q_token_count" ->
         """SELECT doc_id, CAST(1 + length(text) - length(replace(text, ' ', '')) AS INT)
           | AS n_tokens FROM documents""".stripMargin.replace("\n", ""),

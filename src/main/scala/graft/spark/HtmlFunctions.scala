@@ -87,6 +87,35 @@ object HtmlFunctions {
   def nodeCount(html: String): Int =
     if (html == null) 0 else HtmlParser.parseWithStats(html)._2.nNodes
 
+  /** Structural arena dump restricted to tag/comment/endtag nodes (text
+    * omitted so the row set is input-independent for template oracles):
+    * (node_id, parent_id, pos, depth, kind, tagname, nonpair).
+    */
+  def domTagNodes(html: String): Seq[(Int, Int, Int, Int, Int, String, Boolean)] =
+    if (html == null) Seq.empty
+    else parseNodes(html).filter(_.kind != 0).map(r =>
+      (r.node_id, r.parent_id, r.pos, r.depth, r.kind.toInt, r.tagname, r.nonpair))
+
+  /** BFS (findAllB with match-all fn) order of tag nodes:
+    * (bfs_pos_among_tags, tagname, is_endtag).
+    */
+  def bfsTagOrder(html: String): Seq[(Int, String, Boolean)] =
+    if (html == null) Seq.empty
+    else HtmlParser.parseString(html)
+      .findAllB(null, null, _ => true)
+      .filter(_.isTag).zipWithIndex
+      .map { case (n, i) => (i, n.getTagName, n.isEndTag) }.toSeq
+
+  /** Remove every match of each tag name (removeChild incl. endtag),
+    * then reconstruct (toHtml) — the remove_tag.d workflow as one op.
+    */
+  def removeTags(html: String, names: Seq[String]): String = {
+    if (html == null) return null
+    val dom = HtmlParser.parseString(html)
+    names.foreach { n => dom.find(n).foreach(e => dom.removeChild(e)) }
+    dom.toHtml
+  }
+
   def extractTurn(conv: String, idx: Int, html: String): ExtractedTurn = {
     val r = Extractor.extract(if (html == null) "" else html)
     ExtractedTurn(conv, idx, r.text,
@@ -96,6 +125,9 @@ object HtmlFunctions {
   // ===== Column functions ==================================================
 
   val parse_html = udf(parseNodes _)
+  val dom_tag_nodes = udf(domTagNodes _)
+  val bfs_tag_order = udf(bfsTagOrder _)
+  val remove_tags = udf(removeTags _)
   val find_links = udf(findLinks _)
   val get_content = udf(getContentOf _)
   val get_contents = udf(getContentsOf _)
