@@ -37,7 +37,14 @@ object ScalingBench {
     locally {
       import org.apache.spark.sql.functions._
       val s = session("local[32]", 32, None)
-      val t = Transcripts.derive(s, sfDir)
+      // heavy mode: multiply the prose block (~3-6 KB/turn instead of
+      // ~850 B) — the realistic web-page-fragment regime
+      val heavy = sys.env.getOrElse("SPARK_GRAFT_SCALE_HEAVY", "1").toInt
+      val t0 = Transcripts.derive(s, sfDir)
+      val pad = s"<section><h2>pad heading</h2><p>${"pad word block " * 16}</p></section>"
+      val t = if (heavy <= 1) t0
+        else t0.withColumn("text",
+          regexp_replace(col("text"), "</body>", (pad * heavy) + "</body>"))
       t.withColumn("rep", explode(array((0 until repl).map(lit): _*)))
         .withColumn("conv_id", concat(col("conv_id"), lit("-r"), col("rep")))
         .drop("rep")
@@ -65,13 +72,22 @@ object ScalingBench {
       sec
     }
 
-    val secN = math.min(timed(nExec), timed(nExec))
-    val sec4N = math.min(timed(4 * nExec), timed(4 * nExec))
-    val secN2 = math.min(secN, timed(nExec))
-    val thrN = cnt / secN2
+    // interleave levels A/B/A/B/A/B so background-load drift hits both
+    // symmetrically; median per level
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
+    val timesN = new scala.collection.mutable.ArrayBuffer[Double]()
+    val times4N = new scala.collection.mutable.ArrayBuffer[Double]()
+    (0 until reps).foreach { _ =>
+      timesN += timed(nExec)
+      times4N += timed(4 * nExec)
+    }
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val secN = median(timesN.toSeq)
+    val sec4N = median(times4N.toSeq)
+    val thrN = cnt / secN
     val thr4N = cnt / sec4N
     val eff = thr4N / (4.0 * thrN)
-    println(f"""{"metric":"scaling_efficiency","value":$eff%.3f,"mode":"$mode","n_executors":$nExec,"n4_executors":${4 * nExec},"cores_per_executor":$CoresPerExec,"turns":$cnt,"sec_n":$secN2%.2f,"sec_4n":$sec4N%.2f,"turns_per_sec_n":$thrN%.1f,"turns_per_sec_4n":$thr4N%.1f,"sf":"$sfDir"}""")
+    println(f"""{"metric":"scaling_efficiency","value":$eff%.3f,"mode":"$mode","n_executors":$nExec,"n4_executors":${4 * nExec},"cores_per_executor":$CoresPerExec,"turns":$cnt,"sec_n":$secN%.2f,"sec_4n":$sec4N%.2f,"turns_per_sec_n":$thrN%.1f,"turns_per_sec_4n":$thr4N%.1f,"all_sec_n":${timesN.map(t => f"$t%.2f").mkString("[", ",", "]")},"all_sec_4n":${times4N.map(t => f"$t%.2f").mkString("[", ",", "]")},"sf":"$sfDir"}""")
   }
 
   private def findJar(): Option[String] = {
@@ -91,6 +107,8 @@ object ScalingBench {
       // 3x cores: smooths stage tails (a straggler task idles fewer cores)
       .config("spark.sql.shuffle.partitions", (totalCores * 3).toString)
       .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
+      .config("spark.shuffle.compress", sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "true"))
+      .config("spark.shuffle.spill.compress", sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "true"))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
     jar.foreach(j => b = b.config("spark.jars", j))

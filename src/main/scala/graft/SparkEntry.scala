@@ -81,6 +81,24 @@ object SparkEntry {
       val extracted = Pipeline.extractTurns(Transcripts.derive(s, dir))
       Pipeline.conversations(extracted)
     }),
+    // find("a") expressed RELATIONALLY over the exploded node arena
+    // (SURVEY.md §2.2: node-table filter; node_id order = DFS pre-order) —
+    // must equal q_find_links' UDF-side result
+    "q_relational_find" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val nodes = Transcripts.derive(s, dir)
+        .select(col("conv_id"), col("turn_idx"),
+          explode(H.parse_html(col("text"))).as("n"))
+        .select(col("conv_id"), col("turn_idx"), col("n.*"))
+      val w = Window.partitionBy(col("conv_id"), col("turn_idx"))
+        .orderBy(col("node_id"))
+      nodes
+        .filter(col("kind") === 2 && col("tagname") === "a" &&
+          map_contains_key(col("params"), "href"))
+        .withColumn("pos", row_number().over(w) - 1)
+        .select(col("conv_id"), col("turn_idx"), col("pos"),
+          element_at(col("params"), "href").as("href"))
+    }),
     "q_dom_nodes" -> ((s, dir) => {
       Transcripts.derive(s, dir)
         .select(col("conv_id"), col("turn_idx"),
@@ -206,6 +224,11 @@ object SparkEntry {
            | ELSE 'tool' END AS role, count(*) AS n,
            | sum(length($textExpr)) AS total_chars
            | FROM t GROUP BY 1""".stripMargin.replace("\n", ""),
+      "q_relational_find" ->
+        s"""$cte SELECT conv_id, turn_idx, 0 AS pos, '/home' AS href FROM t
+           | UNION ALL SELECT conv_id, turn_idx, 1, '/about' FROM t
+           | UNION ALL SELECT conv_id, turn_idx, 2, '/ord/' || okey || '/' || lnum FROM t"""
+          .stripMargin.replace("\n", ""),
       "q_dom_nodes" ->
         s"""$cte SELECT conv_id, turn_idx, v.* FROM t CROSS JOIN (VALUES
            | (1,0,0,1,2,'html',false),(2,1,0,2,2,'head',false),

@@ -22,11 +22,19 @@ object Lexer {
     * the start offset of each token in `itxt` (used for span lineage;
     * offsets are an addition of ours, invisible to reference semantics).
     */
+  // Reusable per-thread token builder ("batched tokenize with reusable
+  // parser state", BASELINE.json north_star): Spark tasks are
+  // single-threaded per partition, so one scratch buffer per thread is
+  // reused across every row of the partition.
+  private val tlContent: ThreadLocal[java.lang.StringBuilder] =
+    ThreadLocal.withInitial(() => new java.lang.StringBuilder(256))
+
   def rawSplitWithOffsets(itxt: String): (ArrayBuffer[String], ArrayBuffer[Int]) = {
     // D `char[4] buff` inits to 0xFF; 0xFF matches none of the guards.
     val buff = Array.fill[Char](4)(0xFF.toChar)
     var echr: Char = 0
-    val content = new java.lang.StringBuilder(64)
+    val content = tlContent.get()
+    content.setLength(0)
     var contentStart = 0
     val out = new ArrayBuffer[String]()
     val offs = new ArrayBuffer[Int]()
