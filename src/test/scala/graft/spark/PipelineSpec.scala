@@ -108,6 +108,28 @@ class PipelineSpec extends SparkTestBase {
       .agg(sum("n_turns")).head.getLong(0) == quirkTurns.size)
   }
 
+  test("salting defeats conversation skew: one giant conversation spreads over all partitions") {
+    // 1 conversation with 4000 turns + 40 singleton conversations
+    val rows = (0 until 4000).map(i =>
+      Turn("c-giant", i, "user", s"<p>giant conversation turn $i body</p>", "",
+        new java.sql.Timestamp(0))) ++
+      (0 until 40).map(i =>
+        Turn(s"c-$i", 0, "user", s"<p>small conv $i body</p>", "",
+          new java.sql.Timestamp(0)))
+    val df = spark.createDataset(rows).toDF()
+    val counts = Pipeline.extractTurns(df, Pipeline.Config(partitions = 8))
+      .mapPartitions(it => Iterator.single(it.size)).collect()
+    assert(counts.length == 8)
+    val mean = counts.sum.toDouble / counts.length
+    // hash(conv_id, turn_idx) salting: no partition should exceed 2x mean
+    assert(counts.max <= mean * 2, s"skewed partitions: ${counts.mkString(",")}")
+    // the anti-pattern (partition by conv_id alone) WOULD skew: prove the
+    // contrast so a refactor can't silently lose the salt
+    val unsalted = df.repartition(8, col("conv_id"))
+      .mapPartitions(it => Iterator.single(it.size)).collect()
+    assert(unsalted.max > mean * 2)
+  }
+
   test("oversize guard: huge turns counted, not parsed, never dropped") {
     val big = Turn("c-big", 0, "user", "<div>" + ("x" * 2000) + "</div>", "",
       new java.sql.Timestamp(0))
