@@ -234,6 +234,17 @@ class QuirkSpec extends AnyFunSuite {
     assert(dom.find("a").head.params("t") == "&amp;")
   }
 
+  test("repairTagsFixed (flag, default OFF) merges comment-split tags as the doc comment intended") {
+    val (toks, _) = Lexer.rawSplitWithOffsets("<HT<!-- c -->ML> x")
+    val nodes = toks.map(HtmlNode.fromRaw).toArray
+    val fixed = HtmlParser.repairTagsFixed(nodes)
+    assert(fixed.map(_.rawElement).toSeq == Seq("<HTML>", "<!-- c -->", " x"))
+    assert(fixed(0).isTag && fixed(0).getTagName == "html")
+    // and the default path stays the reference's no-op (Q16)
+    assert(HtmlParser.repairTags(nodes).map(_.rawElement).toSeq ==
+      Seq("<HT", "<!-- c -->", "ML>", " x"))
+  }
+
   test("parseDOM marks text/comment nodes nonpair as a side effect (dhtmlparser.d:903-904)") {
     val dom = parse("x<!-- c -->")
     assert(dom.childs(0).isNonPairTag) // text
