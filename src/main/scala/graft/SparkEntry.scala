@@ -60,6 +60,26 @@ object SparkEntry {
         .select(col("conv_id"), col("turn_idx"),
           H.first_tag_string(col("text"), lit("div"), lit("id"), lit("main")).as("tag_str"))
     }),
+    // Q12 re-escape on the v4 variant: the single-quoted source attr
+    // normalizes to a backslash-escaped double-quoted render
+    "q_span_tag_string" -> ((s, dir) => {
+      Transcripts.derive(s, dir)
+        .select(col("conv_id"), col("turn_idx"),
+          coalesce(
+            H.first_tag_string(col("text"), lit("span"), lit("title"), lit("say \"hi\" now")),
+            lit("")).as("tag_str"))
+    }),
+    // the reference's generic find(tag, params) surface (SQL-registered
+    // as find_nodes): params-subset match via isAlmostEqual (Q21)
+    "q_find_nodes" -> ((s, dir) => {
+      Transcripts.derive(s, dir)
+        .select(col("conv_id"), col("turn_idx"),
+          explode(H.find_nodes(col("text"), lit("a"),
+            map(lit("href"), lit("/home")))).as("n"))
+        .select(col("conv_id"), col("turn_idx"),
+          col("n.node_id").as("node_id"), col("n.tagname").as("tagname"),
+          element_at(col("n.params"), "href").as("href"))
+    }),
     "q_node_count" -> ((s, dir) => {
       Transcripts.derive(s, dir)
         .select(col("conv_id"), col("turn_idx"),
@@ -184,8 +204,122 @@ object SparkEntry {
         .select(col("doc_id"), col("frame_idx")))
   )
 
+  // ===== per-variant oracle constants ======================================
+  // The transcripts template carries a turn_idx%5-selected quirk block
+  // (Transcripts.textSqlExpr). Every constant below was derived BY HAND
+  // from the reference semantics (dhtmlparser.d:869-922 tree building,
+  // 533-587 prettify, 287-429 classifier; quirk ledger SURVEY.md §2.5)
+  // and cross-checked with graft.tools.VariantDump. In particular:
+  //  - v1: a comment is istag (Q1) with RAW tagname (Q6) and is forced
+  //    nonpair by parseDOM like any unmatched non-endtag;
+  //  - v3: the OUTER of two same-name openers with one endtag is
+  //    unmatched (Q17: indexOfEndTag counts the inner opener) and
+  //    becomes a childless nonpair LEAF; the inner pairs, its endtag a
+  //    following SIBLING;
+  //  - v4: tagToString re-renders the single-quoted attr double-quoted
+  //    with backslash-escaped inner quotes (Q12, quote_escaper.d:29-40).
+
+  /** n_nodes delta per variant (extra tokens; no stray endtags). */
+  private val NodeDeltaCase =
+    "CASE turn_idx % 5 WHEN 1 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 4 WHEN 4 THEN 3 ELSE 0 END"
+  /** parse-error (forced-nonpair tag) count per variant: only v3's outer
+    * section counts (comments/text forced nonpair are not errors).
+    */
+  private val ErrDeltaCase = "CASE WHEN turn_idx % 5 = 3 THEN 1 ELSE 0 END"
+
+  private case class DomRow(id: Int, parent: Int, pos: Int, depth: Int,
+                            kind: Int, tag: String, nonpair: Boolean)
+
+  /** dom_tag_nodes rows shared by all variants (arena ids 1..36). */
+  private val DomBase: Seq[DomRow] = Seq(
+    DomRow(1,0,0,1,2,"html",false), DomRow(2,1,0,2,2,"head",false),
+    DomRow(3,2,0,3,2,"title",false), DomRow(5,2,1,3,3,"title",false),
+    DomRow(6,2,2,3,2,"meta",true), DomRow(7,1,1,2,3,"head",false),
+    DomRow(8,1,2,2,2,"body",false), DomRow(9,8,0,3,2,"nav",false),
+    DomRow(10,9,0,4,2,"a",false), DomRow(12,9,1,4,3,"a",false),
+    DomRow(14,9,3,4,2,"a",false), DomRow(16,9,4,4,3,"a",false),
+    DomRow(17,8,1,3,3,"nav",false), DomRow(18,8,2,3,2,"div",false),
+    DomRow(19,18,0,4,2,"h1",false), DomRow(21,18,1,4,3,"h1",false),
+    DomRow(22,18,2,4,2,"p",false), DomRow(24,18,3,4,3,"p",false),
+    DomRow(25,18,4,4,2,"p",false), DomRow(27,18,5,4,3,"p",false),
+    DomRow(28,18,6,4,2,"a",false), DomRow(30,18,7,4,3,"a",false),
+    DomRow(31,8,3,3,3,"div",false), DomRow(32,8,4,3,2,"footer",false),
+    DomRow(33,32,0,4,2,"p",false), DomRow(35,32,1,4,3,"p",false),
+    DomRow(36,8,5,3,3,"footer",false))
+
+  /** Per-variant tail: quirk-block tag nodes + the shifted /body, /html. */
+  private val DomExtra: Map[Int, Seq[DomRow]] = {
+    def tails(bodyEnd: Int) = Seq(
+      DomRow(bodyEnd,1,3,2,3,"body",false), DomRow(bodyEnd+1,0,1,1,3,"html",false))
+    Map(
+      0 -> tails(37),
+      1 -> (Seq(DomRow(37,8,6,3,1,"<!-- note 11 -->",true)) ++ tails(38)),
+      2 -> (Seq(DomRow(37,8,6,3,2,"br",true), DomRow(38,8,7,3,2,"hr",true),
+                DomRow(39,8,8,3,2,"img",true)) ++ tails(40)),
+      // v3: outer section nonpair LEAF (Q17); inner's text child id 39 is
+      // kind 0 (omitted here); endtag id 40 is the inner's sibling
+      3 -> (Seq(DomRow(37,8,6,3,2,"section",true), DomRow(38,8,7,3,2,"section",false),
+                DomRow(40,8,8,3,3,"section",false)) ++ tails(41)),
+      // v4: text child id 38 omitted
+      4 -> (Seq(DomRow(37,8,6,3,2,"span",false), DomRow(39,8,7,3,3,"span",false)) ++ tails(40)))
+  }
+
+  private def sqlStr(s: String) = "'" + s.replace("'", "''") + "'"
+
+  /** DuckDB VALUES list of (variant, node rows) for q_dom_nodes. */
+  private def domValuesSql: String =
+    (0 to 4).flatMap { v =>
+      (DomBase ++ DomExtra(v)).map(r =>
+        s"($v,${r.id},${r.parent},${r.pos},${r.depth},${r.kind},${sqlStr(r.tag)},${r.nonpair})")
+    }.mkString(",")
+
+  /** BFS level-order among tag nodes (findAllB, Q20): the quirk block's
+    * tags are body children enqueued after /footer, so they surface at
+    * positions 15.. and shift the grandchildren after them.
+    */
+  private def bfsValuesSql: String = {
+    val prefix = Seq(
+      ("html",false),("html",true),("head",false),("head",true),
+      ("body",false),("body",true),("title",false),("title",true),
+      ("meta",false),("nav",false),("nav",true),("div",false),("div",true),
+      ("footer",false),("footer",true))
+    val tail = Seq(
+      ("a",false),("a",true),("a",false),("a",true),("h1",false),("h1",true),
+      ("p",false),("p",true),("p",false),("p",true),("a",false),("a",true),
+      ("p",false),("p",true))
+    val variantTags: Map[Int, Seq[(String, Boolean)]] = Map(
+      0 -> Seq.empty,
+      1 -> Seq(("<!-- note 11 -->", false)), // comments are tags (Q1), raw tagname (Q6)
+      2 -> Seq(("br",false),("hr",false),("img",false)),
+      3 -> Seq(("section",false),("section",false),("section",true)),
+      4 -> Seq(("span",false),("span",true)))
+    (0 to 4).flatMap { v =>
+      (prefix ++ variantTags(v) ++ tail).zipWithIndex.map { case ((t, e), i) =>
+        s"($v,$i,${sqlStr(t)},$e)"
+      }
+    }.mkString(",")
+  }
+
+  /** The quirk block's prettify lines (body-child indent = 4 spaces),
+    * as a DuckDB expression. v3: the nonpair outer section renders bare;
+    * the inner renders INLINE (text child => Q15 inline mode). v4: Q12
+    * normalized re-escape.
+    */
+  private val PrettyVariantExpr: String =
+    """CASE turn_idx % 5
+      | WHEN 1 THEN '    <!-- note 11 -->' || chr(10)
+      | WHEN 2 THEN '    <br>' || chr(10) || '    <hr>' || chr(10) || '    <img src="/x.png">' || chr(10)
+      | WHEN 3 THEN '    <section>' || chr(10) || '    <section>nested</section>' || chr(10)
+      | WHEN 4 THEN '    <span title="say \"hi\" now">q</span>' || chr(10)
+      | ELSE '' END""".stripMargin.replace("\n", "")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
+    *
+    * DuckDB type discipline: every aggregate the engine computes as
+    * BIGINT is CAST explicitly — DuckDB's sum(BIGINT) yields HUGEINT,
+    * which hash-mismatches Spark's LongType even when values agree
+    * (the round-1 q_role_metrics failure).
     */
   def oracleSql: Map[String, String] = {
     val cte = Transcripts.OracleCte
@@ -203,16 +337,24 @@ object SparkEntry {
         s"$cte SELECT conv_id, turn_idx, dtext AS content FROM t",
       "q_tag_string" ->
         s"""$cte SELECT conv_id, turn_idx, '<div class="main" id="main">' AS tag_str FROM t""",
+      "q_span_tag_string" ->
+        s"""$cte SELECT conv_id, turn_idx,
+           | CASE WHEN turn_idx % 5 = 4 THEN '<span title="say \\"hi\\" now">' ELSE '' END AS tag_str
+           | FROM t""".stripMargin.replace("\n", ""),
+      "q_find_nodes" ->
+        s"""$cte SELECT conv_id, turn_idx, 10 AS node_id, 'a' AS tagname, '/home' AS href FROM t""",
       "q_node_count" ->
-        s"$cte SELECT conv_id, turn_idx, 38 AS n_nodes FROM t",
+        s"$cte SELECT conv_id, turn_idx, 38 + $NodeDeltaCase AS n_nodes FROM t",
       "q_extract_main" ->
         s"$cte SELECT conv_id, turn_idx, $extractExpr AS extracted_text FROM t",
       "q_pipeline_extract" ->
         s"""$cte SELECT conv_id, turn_idx, $extractExpr AS extracted_text,
-           | 38 AS n_nodes, 0 AS n_errors FROM t""".stripMargin.replace("\n", ""),
+           | 38 + $NodeDeltaCase AS n_nodes, $ErrDeltaCase AS n_errors FROM t"""
+          .stripMargin.replace("\n", ""),
       "q_conversations" ->
-        s"""$cte SELECT conv_id, count(*) AS n_turns, 38 * count(*) AS n_nodes,
-           | 0 AS n_errors,
+        s"""$cte SELECT conv_id, count(*) AS n_turns,
+           | CAST(sum(38 + $NodeDeltaCase) AS BIGINT) AS n_nodes,
+           | CAST(sum($ErrDeltaCase) AS BIGINT) AS n_errors,
            | string_agg($extractExpr, chr(10) ORDER BY turn_idx) AS conv_text
            | FROM t GROUP BY conv_id""".stripMargin.replace("\n", ""),
       "q_turn_rn" ->
@@ -222,7 +364,7 @@ object SparkEntry {
       "q_role_metrics" ->
         s"""$cte SELECT CASE turn_idx % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
            | ELSE 'tool' END AS role, count(*) AS n,
-           | sum(length($textExpr)) AS total_chars
+           | CAST(sum(length($textExpr)) AS BIGINT) AS total_chars
            | FROM t GROUP BY 1""".stripMargin.replace("\n", ""),
       "q_relational_find" ->
         s"""$cte SELECT conv_id, turn_idx, 0 AS pos, '/home' AS href FROM t
@@ -230,36 +372,16 @@ object SparkEntry {
            | UNION ALL SELECT conv_id, turn_idx, 2, '/ord/' || okey || '/' || lnum FROM t"""
           .stripMargin.replace("\n", ""),
       "q_dom_nodes" ->
-        s"""$cte SELECT conv_id, turn_idx, v.* FROM t CROSS JOIN (VALUES
-           | (1,0,0,1,2,'html',false),(2,1,0,2,2,'head',false),
-           | (3,2,0,3,2,'title',false),(5,2,1,3,3,'title',false),
-           | (6,2,2,3,2,'meta',true),(7,1,1,2,3,'head',false),
-           | (8,1,2,2,2,'body',false),(9,8,0,3,2,'nav',false),
-           | (10,9,0,4,2,'a',false),(12,9,1,4,3,'a',false),
-           | (14,9,3,4,2,'a',false),(16,9,4,4,3,'a',false),
-           | (17,8,1,3,3,'nav',false),(18,8,2,3,2,'div',false),
-           | (19,18,0,4,2,'h1',false),(21,18,1,4,3,'h1',false),
-           | (22,18,2,4,2,'p',false),(24,18,3,4,3,'p',false),
-           | (25,18,4,4,2,'p',false),(27,18,5,4,3,'p',false),
-           | (28,18,6,4,2,'a',false),(30,18,7,4,3,'a',false),
-           | (31,8,3,3,3,'div',false),(32,8,4,3,2,'footer',false),
-           | (33,32,0,4,2,'p',false),(35,32,1,4,3,'p',false),
-           | (36,8,5,3,3,'footer',false),(37,1,3,2,3,'body',false),
-           | (38,0,1,1,3,'html',false)
-           |) AS v(node_id,parent_id,pos,depth,kind,tagname,nonpair)"""
-          .stripMargin.replace("\n", ""),
+        s"""$cte SELECT t.conv_id, t.turn_idx, v.node_id, v.parent_id, v.pos,
+           | v.depth, v.kind, v.tagname, v.nonpair
+           | FROM t JOIN (VALUES $domValuesSql)
+           | AS v(variant,node_id,parent_id,pos,depth,kind,tagname,nonpair)
+           | ON v.variant = t.turn_idx % 5""".stripMargin.replace("\n", ""),
       "q_bfs_order" ->
-        s"""$cte SELECT conv_id, turn_idx, v.* FROM t CROSS JOIN (VALUES
-           | (0,'html',false),(1,'html',true),(2,'head',false),
-           | (3,'head',true),(4,'body',false),(5,'body',true),
-           | (6,'title',false),(7,'title',true),(8,'meta',false),
-           | (9,'nav',false),(10,'nav',true),(11,'div',false),
-           | (12,'div',true),(13,'footer',false),(14,'footer',true),
-           | (15,'a',false),(16,'a',true),(17,'a',false),(18,'a',true),
-           | (19,'h1',false),(20,'h1',true),(21,'p',false),(22,'p',true),
-           | (23,'p',false),(24,'p',true),(25,'a',false),(26,'a',true),
-           | (27,'p',false),(28,'p',true)
-           |) AS v(bfs_pos,tagname,is_end)""".stripMargin.replace("\n", ""),
+        s"""$cte SELECT t.conv_id, t.turn_idx, v.bfs_pos, v.tagname, v.is_end
+           | FROM t JOIN (VALUES $bfsValuesSql)
+           | AS v(variant,bfs_pos,tagname,is_end)
+           | ON v.variant = t.turn_idx % 5""".stripMargin.replace("\n", ""),
       "q_prettify" ->
         s"""$cte SELECT conv_id, turn_idx,
            | '<html>' || chr(10) ||
@@ -281,6 +403,7 @@ object SparkEntry {
            | '    <footer>' || chr(10) ||
            | '      <p>footer boilerplate text</p>' || chr(10) ||
            | '    </footer>' || chr(10) ||
+           | ($PrettyVariantExpr) ||
            | '  </body>' || chr(10) ||
            | '</html>' || chr(10) AS pretty FROM t"""
           .stripMargin.replace("\n", ""),
@@ -291,6 +414,7 @@ object SparkEntry {
            | || '<p>' || dtext || '</p>'
            | || '<p>order ' || okey || ' line ' || lnum || ' flag ' || rf || ' status ' || ls || '</p>'
            | || '<a href="/ord/' || okey || '/' || lnum || '">details</a></div>'
+           | || (${Transcripts.OracleVariantExpr})
            | || '</body></html>' AS stripped FROM t"""
           .stripMargin.replace("\n", ""),
       "q_token_count" ->

@@ -55,8 +55,8 @@ object Extractor {
     def totalChars: Int = sb.length
   }
 
-  def extract(html: String): ExtractResult = {
-    val (dom, stats) = HtmlParser.parseWithStats(html)
+  def extract(html: String, repairFixed: Boolean = false): ExtractResult = {
+    val (dom, stats) = HtmlParser.parseWithStats(html, repairFixed)
 
     val kept = new ArrayBuffer[Block]()
     var cur = new Block
@@ -78,7 +78,7 @@ object Extractor {
     }
 
     def walk(n: HtmlNode, inLink: Boolean): Unit = {
-      n.childs.foreach { c =>
+      n.foreachChild { c =>
         if (c.isComment) ()
         else if (!c.isTag) {
           val raw = c.rawElement

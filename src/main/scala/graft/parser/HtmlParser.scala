@@ -14,6 +14,14 @@ object HtmlParser {
     */
   def parseString(txt: String): HtmlNode = parseWithStats(txt)._1
 
+  /** As [[parseString]], with the flagged repairTagsFixed stage
+    * (comment-split-tag merge) switchable on — OFF reproduces the
+    * reference's no-op repairTags (Q16) and is the oracle-faithful
+    * default.
+    */
+  def parseString(txt: String, repairFixed: Boolean): HtmlNode =
+    parseWithStats(txt, repairFixed)._1
+
   /** Parse metrics for the pipeline's per-partition metrics table:
     * `nNodes = nTokens - droppedEndtags` (every token either lands in the
     * tree or is a dropped stray endtag); `forcedNonpair` counts *tags*
@@ -23,12 +31,12 @@ object HtmlParser {
   final case class ParseStats(nTokens: Int, nNodes: Int,
                               forcedNonpair: Int, droppedEndtags: Int)
 
-  def parseWithStats(txt: String): (HtmlNode, ParseStats) = {
+  def parseWithStats(txt: String, repairFixed: Boolean = false): (HtmlNode, ParseStats) = {
     var t = txt
     if (t.length > 1 && t.charAt(0) == '\uFEFF') t = t.substring(1)
 
     val (tokens, offsets) = Lexer.rawSplitWithOffsets(t)
-    val istack = new Array[HtmlNode](tokens.length)
+    var istack = new Array[HtmlNode](tokens.length)
     var i = 0
     while (i < tokens.length) {
       val n = HtmlNode.fromRaw(tokens(i))
@@ -36,10 +44,11 @@ object HtmlParser {
       istack(i) = n
       i += 1
     }
+    istack = if (repairFixed) repairTagsFixed(istack) else repairTags(istack)
 
     val container = HtmlNode.container()
     val counters = new Array[Int](2) // 0: forced nonpair tags, 1: dropped endtags
-    container.childs ++= parseDOM(repairTags(istack), 0, istack.length, counters)
+    container.childs ++= parseDOM(istack, 0, istack.length, counters)
     (container,
       ParseStats(istack.length, istack.length - counters(1), counters(0), counters(1)))
   }

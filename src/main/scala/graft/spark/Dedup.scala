@@ -62,13 +62,67 @@ object Dedup {
     signatures(docs)
       .select(col("doc_id"), posexplode(bandsUdf(col("sig"))).as(Seq("band_idx", "band_hash")))
 
-  /** Near-dup candidate pairs via band-bucket self-join, verified with
-    * minhash similarity >= simThreshold. Returns (a, b, est_sim), a < b.
+  /** Default per-band-bucket population cap for near-dup candidate
+    * generation. A real crawl corpus is GUARANTEED to contain
+    * mass-duplicated boilerplate; one such cluster of m docs in a single
+    * band bucket yields m^2/2 candidate pairs. Two defenses, both on by
+    * default in [[nearDupPairs]]:
+    *  1. exact-dedup tier first — byte-identical texts collapse to one
+    *     canonical doc (min doc_id) BEFORE banding, so exact-dup clusters
+    *     can't flood a bucket at all;
+    *  2. any band bucket still holding more than `maxBucketSize` distinct
+    *     (near- but not byte-identical) docs is dropped from candidate
+    *     generation and surfaced via [[oversizeBuckets]] — a bounded,
+    *     observable loss instead of an unbounded quadratic join.
     */
-  def nearDupPairs(docs: DataFrame, simThreshold: Double = 0.7): DataFrame = {
-    val sigs = signatures(docs).cache()
-    val bands = sigs
-      .select(col("doc_id"), explode(bandsUdf(col("sig"))).as("band_hash"))
+  val DefaultMaxBucketSize = 64
+
+  /** Canonical-doc minhash signatures: one row per distinct text
+    * (min doc_id wins). Text is hashed in the projection; only
+    * (md5, doc_id, sig) — never the text itself — reaches the shuffle.
+    */
+  private def canonicalSignatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(col("text")).as("text_hash"),
+        sigUdf(col("text")).as("sig"))
+      .groupBy(col("text_hash"))
+      .agg(min(col("doc_id")).as("doc_id"), first(col("sig")).as("sig"))
+      .select(col("doc_id"), col("sig"))
+
+  /** Band table with per-bucket population attached (one shuffle on
+    * band_hash — the same key the candidate self-join uses).
+    */
+  private def sizedBands(sigs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    sigs.select(col("doc_id"), explode(bandsUdf(col("sig"))).as("band_hash"))
+      .withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy(col("band_hash"))))
+  }
+
+  /** The dropped-candidate metric for [[nearDupPairs]]: band buckets
+    * whose population exceeded the cap, with the pair count each would
+    * have contributed. Emit/inspect this alongside the pairs (never
+    * silently truncate — SURVEY "no silent caps").
+    */
+  def oversizeBuckets(docs: DataFrame,
+                      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    sizedBands(canonicalSignatures(docs))
+      .filter(col("bucket_n") > maxBucketSize)
+      .groupBy(col("band_hash"))
+      .agg(count(lit(1)).as("bucket_n_docs"))
+      .select(col("band_hash"), col("bucket_n_docs"),
+        (col("bucket_n_docs") * (col("bucket_n_docs") - 1) / 2).as("pairs_dropped"))
+
+  /** Near-dup candidate pairs via capped band-bucket self-join, verified
+    * with minhash similarity >= simThreshold. Returns (a, b, est_sim),
+    * a < b, over canonical docs (exact dups collapse to min doc_id first;
+    * recover full groups by composing with [[exactDupGroups]]).
+    */
+  def nearDupPairs(docs: DataFrame, simThreshold: Double = 0.7,
+                   maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val sigs = canonicalSignatures(docs).cache()
+    val bands = sizedBands(sigs)
+      .filter(col("bucket_n") <= maxBucketSize)
+      .drop("bucket_n")
     val cand = bands.as("l").join(bands.as("r"),
         col("l.band_hash") === col("r.band_hash") && col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))

@@ -1,17 +1,47 @@
 package graft.spark
 
 import graft.text.Fingerprints
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
 import org.apache.spark.sql.functions._
+
+/** Bounded top-k aggregator over (neighbor_id, sim): the buffer never
+  * exceeds k entries, so the map-side partial aggregate ships at most k
+  * rows per query per partition through the exchange. This replaces the
+  * round-1 global `Window.partitionBy(query_id)` rank, which shuffled
+  * every corpus x query scored row to nQueries reducers — a straggler /
+  * OOM by construction at corpus scale (VERDICT r1 item 7).
+  *
+  * Order: sim desc, neighbor_id asc (stored as (-sim, id) ascending) —
+  * fully deterministic, including ties.
+  */
+final class TopKBySim(k: Int)
+    extends Aggregator[(Long, Double), Seq[(Double, Long)], Seq[Long]] {
+  def zero: Seq[(Double, Long)] = Seq.empty
+
+  def reduce(buf: Seq[(Double, Long)], a: (Long, Double)): Seq[(Double, Long)] = {
+    val entry = (-a._2, a._1)
+    if (buf.length >= k && Ordering[(Double, Long)].gteq(entry, buf.last)) buf
+    else ((buf :+ entry).sorted).take(k)
+  }
+
+  def merge(b1: Seq[(Double, Long)], b2: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    (b1 ++ b2).sorted.take(k)
+
+  def finish(r: Seq[(Double, Long)]): Seq[Long] = r.map(_._2)
+
+  def bufferEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder()
+  def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+}
 
 /** Similarity search over an embedding column (Array[Float]).
   *
   * Two paths (SURVEY brief: brute-force baseline + bucketed scale path):
   *  - `bruteForceTopK`: broadcast the (small) query set, one scan of the
-  *    corpus computing cosine, per-query top-k. The corpus side is never
-  *    shuffled before scoring; only the tiny (query x k) result shuffles
-  *    for the final rank.
+  *    corpus computing cosine, per-query top-k via the bounded
+  *    aggregator. The corpus side is never shuffled before scoring, and
+  *    only <= k * nPartitions rows per query cross the exchange.
   *  - `annTopK`: random-hyperplane LSH bucket per vector; candidates are
   *    corpus vectors sharing the query's bucket (join colocated on the
   *    bucket key), then exact cosine rank within candidates. Recall is
@@ -25,22 +55,31 @@ object Embeddings {
   private def bucketUdf(nbits: Int) =
     udf((v: Seq[Float]) => Fingerprints.rhpBucket(v.toArray, nbits))
 
+  /** (query_id, neighbor_id, rank) from scored rows via the bounded
+    * partial top-k; rank is 1-based in (sim desc, neighbor_id asc) order.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new TopKBySim(k), ExpressionEncoder[(Long, Double)]())
+    scored
+      .groupBy(col("query_id"))
+      .agg(topk(col("neighbor_id"), col("sim")).as("ids"))
+      .select(col("query_id"), posexplode(col("ids")).as(Seq("rank0", "neighbor_id")))
+      .select(col("query_id"), col("neighbor_id"),
+        (col("rank0") + 1).cast("int").as("rank"))
+  }
+
   /** Exact top-k neighbors for each of the first `nQueries` vectors.
     * Returns (query_id, neighbor_id, rank); cosine kept internally only
     * (floats don't hash-compare stably across engines).
     */
   def bruteForceTopK(emb: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame = {
     val queries = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .select(col("vec_id").cast("long").as("query_id"), col("embedding").as("q_emb"))
     val scored = emb.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+      .select(col("query_id"), col("vec_id").cast("long").as("neighbor_id"),
         cosineUdf(col("q_emb"), col("embedding")).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    rankTopK(scored, k)
   }
 
   /** LSH-bucketed approximate top-k: candidates share the query's
@@ -51,16 +90,12 @@ object Embeddings {
     val bucketed = emb.select(col("vec_id"), col("embedding"),
       bucketUdf(nbits)(col("embedding")).as("bucket"))
     val queries = bucketed.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
+      .select(col("vec_id").cast("long").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
     val cand = bucketed.join(broadcast(queries), "bucket")
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+      .select(col("query_id"), col("vec_id").cast("long").as("neighbor_id"),
         cosineUdf(col("q_emb"), col("embedding")).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    rankTopK(cand, k)
   }
 
   /** Embedding-cosine near-duplicate pairs: bucket join, exact cosine

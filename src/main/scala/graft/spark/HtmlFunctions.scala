@@ -21,15 +21,24 @@ import org.apache.spark.sql.functions.udf
   */
 object HtmlFunctions {
 
-  /** DOM -> flat pre-order arena of NodeRow (ids replace pointers). */
-  def toRows(root: HtmlNode): Seq[NodeRow] = {
+  /** Pre-order node numbering (the arena id assignment). */
+  private def numberPreOrder(root: HtmlNode): java.util.IdentityHashMap[HtmlNode, Integer] = {
     val ids = new java.util.IdentityHashMap[HtmlNode, Integer]()
     var next = 0
     def number(n: HtmlNode): Unit = {
       ids.put(n, next); next += 1
-      n.childs.foreach(number)
+      n.foreachChild(number) // lazy: never materializes a leaf's child buffer
     }
     number(root)
+    ids
+  }
+
+  /** DOM -> flat pre-order arena of NodeRow (ids replace pointers). */
+  def toRows(root: HtmlNode): Seq[NodeRow] =
+    toRowsWithIds(root, numberPreOrder(root))
+
+  private def toRowsWithIds(root: HtmlNode,
+                            ids: java.util.IdentityHashMap[HtmlNode, Integer]): Seq[NodeRow] = {
 
     val out = Vector.newBuilder[NodeRow]
     def emit(n: HtmlNode, parent: Int, pos: Int, depth: Int): Unit = {
@@ -41,10 +50,11 @@ object HtmlFunctions {
         else 2
       val endId = if (n.endtag != null && ids.containsKey(n.endtag)) ids.get(n.endtag).intValue else -1
       val opId = if (n.openertag != null && ids.containsKey(n.openertag)) ids.get(n.openertag).intValue else -1
+      val pm: Map[String, String] = if (n.hasParams) n.params.toMap else Map.empty
       out += NodeRow(id, parent, pos, depth, kind, n.getTagName, n.rawElement,
-        n.params.toMap, n.isNonPairTag, endId, opId, n.srcOffset)
+        pm, n.isNonPairTag, endId, opId, n.srcOffset)
       var i = 0
-      n.childs.foreach { c => emit(c, id, i, depth + 1); i += 1 }
+      n.foreachChild { c => emit(c, id, i, depth + 1); i += 1 }
     }
     emit(root, -1, 0, 0)
     out.result()
@@ -54,6 +64,30 @@ object HtmlFunctions {
 
   def parseNodes(html: String): Seq[NodeRow] =
     if (html == null) Seq.empty else toRows(HtmlParser.parseString(html))
+
+  /** The reference's generic `find(tag, params)` (dhtmlparser.d:150,
+    * 623-647) as a SQL-facing function: DFS matches minus endtags, each
+    * returned as its full arena NodeRow (node_id = pre-order position in
+    * the parse arena, identical to parse_html's ids). A null/empty params
+    * map means tag-name-only matching.
+    */
+  def findNodes(html: String, tag: String, params: Map[String, String]): Seq[NodeRow] = {
+    if (html == null) return Seq.empty
+    val dom = HtmlParser.parseString(html)
+    val ids = numberPreOrder(dom)
+    val rows = toRowsWithIds(dom, ids) // rows(i).node_id == i (pre-order)
+    val pm = if (params == null || params.isEmpty) null else params
+    dom.find(tag, pm).map(n => rows(ids.get(n).intValue)).toSeq
+  }
+
+  /** Round-trip with the repairTagsFixed stage enabled (the flagged
+    * comment-split-tag merge the reference *documents* but never executes
+    * — Q16; HtmlParser.repairTagsFixed). Diverges from the oracle by
+    * design; exposed for pipeline users who want the documented intent.
+    */
+  def roundtripFixed(html: String): String =
+    if (html == null) null
+    else HtmlParser.parseWithStats(html, repairFixed = true)._1.toHtml
 
   def findLinks(html: String): Seq[String] =
     if (html == null) Seq.empty
@@ -125,6 +159,8 @@ object HtmlFunctions {
   // ===== Column functions ==================================================
 
   val parse_html = udf(parseNodes _)
+  val find_nodes = udf(findNodes _)
+  val to_html_fixed = udf(roundtripFixed _)
   val dom_tag_nodes = udf(domTagNodes _)
   val bfs_tag_order = udf(bfsTagOrder _)
   val remove_tags = udf(removeTags _)
@@ -145,6 +181,8 @@ object HtmlFunctions {
   /** Register everything for spark.sql use. */
   def register(spark: SparkSession): Unit = {
     spark.udf.register("parse_html", parse_html)
+    spark.udf.register("find_nodes", find_nodes)
+    spark.udf.register("to_html_fixed", to_html_fixed)
     spark.udf.register("find_links", find_links)
     spark.udf.register("get_content", get_content)
     spark.udf.register("get_contents", get_contents)

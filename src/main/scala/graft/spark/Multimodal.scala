@@ -38,9 +38,10 @@ object Multimodal {
   private[spark] def stubDecode(media: Array[Byte], width: Int, height: Int): Array[Float] = {
     val n = math.max(1, math.min(width * height, 256))
     val out = new Array[Float](n)
+    if (media.isEmpty) return out // all-zero buffer for empty payloads
     var i = 0
     while (i < n) {
-      out(i) = ((media(i % math.max(1, media.length)) & 0xFF) / 255.0f)
+      out(i) = ((media(i % media.length) & 0xFF) / 255.0f)
       i += 1
     }
     out

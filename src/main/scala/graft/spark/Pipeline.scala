@@ -36,7 +36,11 @@ object Pipeline {
 
   final case class Config(partitions: Int = 0, // 0 = spark.sql.shuffle.partitions
                           maxTextChars: Int = 4 << 20,
-                          snapshotId: String = "parquet-v0")
+                          snapshotId: String = "parquet-v0",
+                          // enable the flagged repairTagsFixed stage
+                          // (Q16 intent; diverges from the reference
+                          // oracle — default stays faithful)
+                          repairTagsFixed: Boolean = false)
 
   /** Core stage: salted repartition + mapPartitions extraction.
     * Input must have (conv_id string, turn_idx int, text string [, src_file]).
@@ -50,6 +54,7 @@ object Pipeline {
       if (cfg.partitions > 0) cfg.partitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
     val maxChars = cfg.maxTextChars
+    val repairFixed = cfg.repairTagsFixed
 
     turns
       .select(col("conv_id"), col("turn_idx"), col("text"))
@@ -67,7 +72,7 @@ object Pipeline {
               nOversize += 1
               ExtractedTurn(conv, idx, "", Seq.empty, 0, 1)
             } else {
-              val r = Extractor.extract(t)
+              val r = Extractor.extract(t, repairFixed)
               ExtractedTurn(conv, idx, r.text,
                 r.spans.map(s => SpanRec(s.start, s.end, s.kind)), r.nNodes, r.nErrors)
             }
@@ -76,9 +81,11 @@ object Pipeline {
         }
         // iterator wrapper so metrics flush after the partition drains
         new Iterator[ExtractedTurn] {
+          private var flushed = false // hasNext may legally be called repeatedly after exhaustion
           def hasNext: Boolean = {
             val h = out.hasNext
-            if (!h && metricsAcc != null) {
+            if (!h && !flushed && metricsAcc != null) {
+              flushed = true
               metricsAcc.add(PartitionMetrics(TaskContext.getPartitionId(),
                 nTurns, nBytes, nNodes, nErrors, nOversize,
                 (System.nanoTime() - t0) / 1000000L))
@@ -124,7 +131,16 @@ object Pipeline {
   final case class RunSummary(batchId: String, filesProcessed: Long,
                               rowsProcessed: Long, skippedFiles: Long)
 
-  /** Resumable batch run over a transcripts parquet directory. */
+  /** Resumable batch run over a transcripts parquet directory.
+    *
+    * The resume filter is a left_anti JOIN of the input against the
+    * checkpoint table on src_file — never a driver-side collect of file
+    * lists or an IN-list in the plan: at 10^6 input files both would be
+    * driver-memory / plan-size bottlenecks. The batch id is an
+    * order-independent distributed aggregate (xor/sum of per-file
+    * xxhash64) over the pending file set, so a rerun of the same pending
+    * set rewrites the same batch directory (idempotent).
+    */
   def runResumable(spark: SparkSession, transcriptsPath: String, outDir: String,
                    cfg: Config = Config()): RunSummary = {
     import spark.implicits._
@@ -132,27 +148,33 @@ object Pipeline {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
 
-    val done: Set[String] =
+    val doneFiles: DataFrame =
       if (fs.exists(new org.apache.hadoop.fs.Path(ckptPath)))
-        spark.read.parquet(ckptPath).select("file").as[String].collect().toSet
-      else Set.empty
+        spark.read.parquet(ckptPath).select(col("file").as("src_file"))
+      else spark.emptyDataset[String].toDF("src_file")
 
     val input = spark.read.parquet(transcriptsPath)
       .withColumn("src_file", input_file_name())
 
-    val allFiles = input.inputFiles.toSet
-    val pendingFiles = (allFiles -- done).toSeq.sorted
-    if (pendingFiles.isEmpty)
-      return RunSummary("none", 0, 0, done.size.toLong)
+    val pending = input.join(doneFiles, Seq("src_file"), "left_anti")
+    val pendingFilesDf = pending.select(col("src_file").as("file")).distinct()
 
-    // deterministic batch id from the pending set => idempotent rerun
-    val batchId = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      pendingFiles.foreach(f => md.update(f.getBytes("UTF-8")))
-      md.digest().map("%02x".format(_)).mkString.take(16)
+    // deterministic, order-independent batch id from the pending set
+    // (computed as one tiny aggregate; no file-list collect)
+    val agg = pendingFilesDf.agg(
+      count(lit(1)).as("n"),
+      coalesce(expr("bit_xor(xxhash64(file))"), lit(0L)).as("s"),
+      coalesce(expr("bit_xor(xxhash64(concat(file, '#2')))"), lit(0L)).as("s2"))
+      .head()
+    val nPending = agg.getLong(0)
+    if (nPending == 0) {
+      val nDone =
+        if (fs.exists(new org.apache.hadoop.fs.Path(ckptPath)))
+          spark.read.parquet(ckptPath).count()
+        else 0L
+      return RunSummary("none", 0, 0, nDone)
     }
-
-    val pending = input.filter(col("src_file").isin(pendingFiles: _*))
+    val batchId = f"${agg.getLong(1)}%016x".take(8) + f"${agg.getLong(2)}%016x".take(8)
     val metricsAcc = new CollectionAccumulator[PartitionMetrics]
     spark.sparkContext.register(metricsAcc, "graft.partitionMetrics")
 
@@ -178,13 +200,16 @@ object Pipeline {
     if (m.nonEmpty)
       m.toDF().write.mode("overwrite").parquet(s"$outDir/metrics/batch=$batchId")
 
-    // checkpoint LAST: marks the batch committed
-    spark.createDataset(pendingFiles).toDF("file")
+    // checkpoint LAST: marks the batch committed (written from the
+    // distributed pending-file set, no driver materialization)
+    pendingFilesDf
       .withColumn("snapshot_id", lit(cfg.snapshotId))
       .withColumn("batch_id", lit(batchId))
       .write.mode("append").parquet(ckptPath)
 
-    RunSummary(batchId, pendingFiles.size.toLong, rows, done.size.toLong)
+    val nDone =
+      spark.read.parquet(ckptPath).count() - nPending // committed before this batch
+    RunSummary(batchId, nPending, rows, nDone)
   }
 
   /** All extracted rows across batches. refreshByPath first: a resume run

@@ -46,8 +46,10 @@ object StreamingExtraction {
   }
 
   def countOutput(spark: SparkSession, outDir: String): Long = {
-    val dir = new java.io.File(s"$outDir/extracted")
-    if (!dir.exists()) 0L
+    // Hadoop FS, not java.io.File: outDir may be hdfs:// or s3:// off-box
+    val p = new org.apache.hadoop.fs.Path(s"$outDir/extracted")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
     else {
       spark.catalog.refreshByPath(s"$outDir/extracted")
       spark.read.parquet(s"$outDir/extracted").count()

@@ -17,10 +17,24 @@ object Transcripts {
 
   /** The HTML template. Two content blocks (document prose + order
     * facts) inside div#main, boilerplate around them. Shape chosen so:
-    *  - toHtml round-trips the input exactly (all pair tags nonempty);
-    *  - extract_main output = "Conversation record\n" + doc + "\n" + facts;
+    *  - toHtml round-trips the input exactly (all pair tags nonempty;
+    *    quirk constructs chosen so raw-element serialization is identity);
+    *  - extract_main output = "Conversation record\n" + doc + "\n" + facts
+    *    for every variant (variant blocks contribute no kept text);
     *  - 3 hrefs per turn in document order;
-    *  - constant 38-token/38-node DOM.
+    *  - 38-node base DOM + a turn_idx%5-selected quirk block.
+    *
+    * The quirk block (between `</footer>` and `</body>`) broadens the
+    * DuckDB oracle beyond one fixed DOM shape (VERDICT r1 item 1):
+    *  - v1 comment sibling: Q11 lexing, Q6 raw tagname, comment forced
+    *    nonpair by parseDOM (dhtmlparser.d:903-904);
+    *  - v2 void tags: Q4 nine-name nonpair list (br,hr,img,...);
+    *  - v3 same-name nesting `<section><section>nested</section>`: Q17 —
+    *    the OUTER opener is unmatched (indexOfEndTag counts the inner
+    *    same-name opener, dhtmlparser.d:869-890) and becomes a nonpair
+    *    LEAF; the inner one pairs with the endtag as its sibling;
+    *  - v4 single-quoted attr with embedded `"`: Q8 both quote styles,
+    *    Q12 tagToString re-escape (`title="say \"hi\" now"`).
     */
   def textSqlExpr: String =
     """concat(
@@ -30,7 +44,15 @@ object Transcripts {
       |'<p>', dtext, '</p>',
       |'<p>order ', okey, ' line ', lnum, ' flag ', rf, ' status ', ls, '</p>',
       |'<a href="/ord/', okey, '/', lnum, '">details</a></div>',
-      |'<footer><p>footer boilerplate text</p></footer></body></html>')"""
+      |'<footer><p>footer boilerplate text</p></footer>',
+      |CASE CAST(turn_idx % 5 AS INT)
+      |  WHEN 1 THEN '<!-- note 11 -->'
+      |  WHEN 2 THEN '<br><hr><img src="/x.png">'
+      |  WHEN 3 THEN '<section><section>nested</section>'
+      |  WHEN 4 THEN concat('<span title=', chr(39), 'say "hi" now', chr(39), '>q</span>')
+      |  ELSE ''
+      |END,
+      |'</body></html>')"""
       .stripMargin.replace("\n", "")
 
   // One persisted copy per (session, dir): every harness query starts from
@@ -45,6 +67,14 @@ object Transcripts {
       deriveUncached(spark, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
+
+  /** Replace the cached transcripts for (spark, dir) — the bench uses
+    * this to point every query at a parquet-materialized copy, so no
+    * query can silently pay re-derivation (join+window) or block-manager
+    * cache eviction inside its measured time.
+    */
+  def primeCache(spark: SparkSession, dir: String, df: DataFrame): Unit =
+    deriveCache.put((spark, dir), df)
 
   /** Deterministic transcripts from driver testdata at `dir`.
     * turn_idx = row_number over the unique total order
@@ -95,15 +125,26 @@ object Transcripts {
       |    ON d.doc_id = l.l_orderkey % (SELECT count(*) FROM documents)
       |)""".stripMargin
 
+  /** The turn's quirk-block as a DuckDB SQL expression (oracle side). */
+  val OracleVariantExpr: String =
+    """CASE turn_idx % 5
+      | WHEN 1 THEN '<!-- note 11 -->'
+      | WHEN 2 THEN '<br><hr><img src="/x.png">'
+      | WHEN 3 THEN '<section><section>nested</section>'
+      | WHEN 4 THEN '<span title=' || chr(39) || 'say "hi" now' || chr(39) || '>q</span>'
+      | ELSE '' END""".stripMargin.replace("\n", "")
+
   /** The template rendered as a DuckDB SQL expression (oracle side). */
   val OracleTextExpr: String =
-    """'<html><head><title>conv</title><meta charset="utf-8"></head><body>'
+    s"""'<html><head><title>conv</title><meta charset="utf-8"></head><body>'
       | || '<nav><a href="/home">Home</a> <a href="/about">About</a></nav>'
       | || '<div class="main" id="main"><h1>Conversation record</h1>'
       | || '<p>' || dtext || '</p>'
       | || '<p>order ' || okey || ' line ' || lnum || ' flag ' || rf || ' status ' || ls || '</p>'
       | || '<a href="/ord/' || okey || '/' || lnum || '">details</a></div>'
-      | || '<footer><p>footer boilerplate text</p></footer></body></html>'"""
+      | || '<footer><p>footer boilerplate text</p></footer>'
+      | || ($OracleVariantExpr)
+      | || '</body></html>'"""
       .stripMargin.replace("\n", "")
 
   /** The extract_main expected output as a DuckDB SQL expression. */

@@ -215,20 +215,35 @@ object Fingerprints {
     if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
   }
 
+  // Precomputed plane matrices keyed by (nbits, dim): rhpBucket is called
+  // once per corpus row, and recomputing mix64 per (bit x dim) per row was
+  // measurably wasteful (VERDICT r1 item 10). Values are identical to the
+  // on-the-fly formula (same Seeds), so buckets are unchanged.
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  private[text] def rhpPlanes(nbits: Int, dim: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((nbits, dim), { _ =>
+      Array.tabulate(nbits, dim) { (b, i) =>
+        // deterministic plane component in [-1,1): mix of (bit, dim)
+        mix64(Seeds(b % Seeds.length) + i).toDouble / Long.MaxValue.toDouble
+      }
+    })
+
   /** Random-hyperplane LSH bucket (sign bits of dot products with
     * deterministic pseudo-random planes) for embedding near-dup/ANN
     * bucketing: `nbits` sign bits packed into a Long.
     */
   def rhpBucket(v: Array[Float], nbits: Int = 16): Long = {
+    val planes = rhpPlanes(nbits, v.length)
     var out = 0L
     var b = 0
     while (b < nbits) {
+      val plane = planes(b)
       var dot = 0.0
       var i = 0
       while (i < v.length) {
-        // deterministic plane component in [-1,1): mix of (bit, dim)
-        val h = mix64(Seeds(b % Seeds.length) + i)
-        dot += v(i) * (h.toDouble / Long.MaxValue.toDouble)
+        dot += v(i) * plane(i)
         i += 1
       }
       if (dot >= 0) out |= (1L << b)
