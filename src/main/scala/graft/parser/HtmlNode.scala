@@ -74,10 +74,9 @@ final class HtmlNode private[parser] () {
 
     if (iscomment || !istag) return
 
-    parseIsEndTag()
-    parseIsNonPairTag()
+    parseEndAndNonPair()
 
-    if (istag && !isendtag && element.indexOf("=") > 0) parseParams()
+    if (istag && !isendtag && element.indexOf('=') > 0) parseParams()
 
     tagname = Ascii.lower(tagname)
   }
@@ -87,39 +86,32 @@ final class HtmlNode private[parser] () {
     istag = element.length >= 2 && element.charAt(0) == '<' &&
       element.charAt(element.length - 1) == '>'
 
-  /** Q3: quote-blind endtag scan — any '/' whose last preceding char >32
-    * was '<' (dhtmlparser.d:294-306). D char.init = 0xFF.
+  /** Q3 + Q4 in ONE scan (the reference runs two identical-shape loops,
+    * dhtmlparser.d:294-306 and 313-322; both track the same `last`
+    * printable-char state, so a fused pass computes both flags with
+    * identical results):
+    *  - endtag: any '/' whose last preceding char >32 was '<';
+    *  - nonpair: any '>' whose last preceding char >32 was '/',
+    *    OR tagname in the 9-name void list (dhtmlparser.d:325-335).
+    * Both scans are quote-blind and whitespace-blind by construction.
     */
-  private def parseIsEndTag(): Unit = {
+  private def parseEndAndNonPair(): Unit = {
     var last: Char = 0xFF.toChar
     isendtag = false
-    if (istag) {
-      var i = 0
-      while (i < element.length) {
-        val c = element.charAt(i)
-        if (c == '/' && last == '<') isendtag = true
-        if (c > 32) last = c
-        i += 1
-      }
-    }
-  }
-
-  /** Q4: whitespace-blind '/>' scan OR tagname in the 9-name void list
-    * (dhtmlparser.d:308-344).
-    */
-  private def parseIsNonPairTag(): Unit = {
-    var last: Char = 0xFF.toChar
     isnonpairtag = false
     if (istag) {
       var i = 0
-      while (i < element.length) {
+      val n = element.length
+      while (i < n) {
         val c = element.charAt(i)
-        if (c == '>' && last == '/') { isnonpairtag = true; return }
+        if (c == '/' && last == '<') isendtag = true
+        else if (c == '>' && last == '/') isnonpairtag = true
         if (c > 32) last = c
         i += 1
       }
     }
-    if (HtmlNode.NonPairTags.contains(Ascii.lower(tagname))) isnonpairtag = true
+    if (!isnonpairtag && HtmlNode.NonPairTags.contains(Ascii.lower(tagname)))
+      isnonpairtag = true
   }
 
   /** Q2: comment iff starts "<!--" and ends "-->" (dhtmlparser.d:346-351). */
@@ -144,13 +136,24 @@ final class HtmlNode private[parser] () {
     }
   }
 
-  /** Delete all '/', '<', '>' chars from element[from, until) (dhtmlparser.d:355). */
+  /** Delete all '/', '<', '>' chars from element[from, until) (dhtmlparser.d:355).
+    * Fast path: real tokens are `<name`, `</name`, `<name>` — the deleted
+    * chars form a prefix/suffix around a clean run, which is one substring.
+    */
   private def stripChars(s: String, from: Int, until: Int): String = {
-    val out = new java.lang.StringBuilder(until - from)
-    var i = from
-    while (i < until) {
+    @inline def deleted(c: Char) = c == '/' || c == '<' || c == '>'
+    var lo = from
+    while (lo < until && deleted(s.charAt(lo))) lo += 1
+    var hi = until
+    while (hi > lo && deleted(s.charAt(hi - 1))) hi -= 1
+    var i = lo
+    while (i < hi && !deleted(s.charAt(i))) i += 1
+    if (i == hi) return s.substring(lo, hi) // clean middle: one copy
+    val out = new java.lang.StringBuilder(hi - from)
+    out.append(s, lo, i)
+    while (i < hi) {
       val c = s.charAt(i)
-      if (c != '/' && c != '<' && c != '>') out.append(c)
+      if (!deleted(c)) out.append(c)
       i += 1
     }
     out.toString

@@ -35,10 +35,10 @@ object HtmlParser {
     var t = txt
     if (t.length > 1 && t.charAt(0) == '\uFEFF') t = t.substring(1)
 
-    val (tokens, offsets) = Lexer.rawSplitWithOffsets(t)
-    var istack = new Array[HtmlNode](tokens.length)
+    val (tokens, offsets, nTok) = Lexer.rawSplitArrays(t)
+    var istack = new Array[HtmlNode](nTok)
     var i = 0
-    while (i < tokens.length) {
+    while (i < nTok) {
       val n = HtmlNode.fromRaw(tokens(i))
       n.srcOffset = offsets(i)
       istack(i) = n
@@ -121,21 +121,26 @@ object HtmlParser {
     * each pair against the current slice limit during construction.
     */
   private[parser] def computeMatches(istack: Array[HtmlNode]): Array[Int] = {
-    val matches = Array.fill(istack.length)(-1)
-    val stacks = new java.util.HashMap[String, java.util.ArrayDeque[Integer]]()
+    val n = istack.length
+    val matches = Array.fill(n)(-1)
+    // per-tagname stacks as an int-chained linked list: below(i) = index
+    // of the previous open same-name tag (no per-tagname Deque allocs)
+    val below = new Array[Int](n)
+    val top = new java.util.HashMap[String, Integer](16)
     var i = 0
-    while (i < istack.length) {
+    while (i < n) {
       val el = istack(i)
       if (el.isOpeningTag) {
-        var st = stacks.get(el.getTagName)
-        if (st == null) { st = new java.util.ArrayDeque[Integer](); stacks.put(el.getTagName, st) }
-        st.push(i)
+        val prev = top.put(el.getTagName, Integer.valueOf(i))
+        below(i) = if (prev == null) -1 else prev.intValue
       } else if (el.isEndTag) {
-        val st = stacks.get(el.getTagName)
-        if (st != null && !st.isEmpty) {
+        val t = top.get(el.getTagName)
+        if (t != null && t.intValue >= 0) {
           // isEndTagTo also requires the opener be an opening tag — it is,
           // we only pushed opening tags
-          matches(st.pop()) = i
+          val ti = t.intValue
+          matches(ti) = i
+          top.put(el.getTagName, Integer.valueOf(below(ti)))
         }
       }
       i += 1

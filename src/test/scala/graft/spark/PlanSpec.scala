@@ -50,6 +50,22 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("BroadcastExchange"))
   }
 
+  test("top-k rank is a bounded partial aggregate, not a global Window shuffle") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    for (df <- Seq(Embeddings.bruteForceTopK(emb, 5, 10),
+                   Embeddings.annTopK(emb, 5, 10, nbits = 4))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        "top-k must not rank via a global Window (all scored rows would shuffle to nQueries reducers)")
+      // the TopKBySim Aggregator runs as ObjectHashAggregate partial
+      // (bounded k-entry buffer) BEFORE the exchange, then final after
+      val firstAgg = plan.indexOf("ObjectHashAggregate")
+      val lastAgg = plan.lastIndexOf("ObjectHashAggregate")
+      assert(firstAgg >= 0 && lastAgg > firstAgg,
+        s"expected partial+final ObjectHashAggregate pair in:\n$plan")
+    }
+  }
+
   test("extraction UDF plan stays a single projection over the scan (no extra shuffle)") {
     val df = spark.read.parquet(turnsParquet)
     val q = df.select(col("conv_id"), col("turn_idx"),

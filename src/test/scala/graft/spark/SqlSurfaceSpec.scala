@@ -32,4 +32,45 @@ class SqlSurfaceSpec extends SparkTestBase {
     assert(row.getAs[String]("extracted").contains("some main content text"))
     assert(row.getAs[Int]("n_nodes") == 7) // 6 tokens + container
   }
+
+  test("find_nodes: generic find(tag, params) from SQL, arena ids + DFS order") {
+    HtmlFunctions.register(spark)
+    Seq(("c1", 0,
+      "<div><a href='/x' rel='me'>one</a><p><a href='/y'>two</a></p><a href='/x'>three</a></div>"))
+      .toDF("conv_id", "turn_idx", "text").createOrReplaceTempView("turns2")
+
+    // tag-only match: DFS pre-order, endtags excluded (reference find)
+    val all = spark.sql(
+      "SELECT find_nodes(text, 'a', map()) AS ns FROM turns2")
+      .select(explode(col("ns")).as("n")).select("n.node_id", "n.tagname").as[(Int, String)]
+      .collect().toSeq
+    assert(all.map(_._2).forall(_ == "a") && all.size == 3)
+    assert(all.map(_._1) == all.map(_._1).sorted) // pre-order ids ascend
+
+    // params-subset match (Q21): only href=/x anchors
+    val hx = spark.sql(
+      "SELECT find_nodes(text, 'a', map('href', '/x')) AS ns FROM turns2")
+      .select(explode(col("ns")).as("n"))
+      .select(element_at(col("n.params"), "href")).as[String].collect().toSeq
+    assert(hx == Seq("/x", "/x"))
+
+    // ids are the parse arena's ids (match parse_html positions)
+    val html = "<div><a href='/x' rel='me'>one</a><p><a href='/y'>two</a></p><a href='/x'>three</a></div>"
+    val fids = HtmlFunctions.findNodes(html, "p", null).map(_.node_id)
+    val pids = HtmlFunctions.parseNodes(html).filter(r => r.tagname == "p" && r.kind == 2).map(_.node_id)
+    assert(fids == pids)
+  }
+
+  test("to_html_fixed merges comment-split tags; default surface reproduces the no-op (Q16)") {
+    HtmlFunctions.register(spark)
+    Seq(("c1", 0, "<HT<!-- c -->ML>payload</HTML>"))
+      .toDF("conv_id", "turn_idx", "text").createOrReplaceTempView("turns3")
+    val row = spark.sql(
+      "SELECT to_html(text) AS faithful, to_html_fixed(text) AS fixed FROM turns3").head
+    // faithful (Q16 no-op): "<HT" and "ML>" stay TEXT siblings around the
+    // comment, and the stray </HTML> is dropped by parseDOM (Q18)
+    assert(row.getAs[String]("faithful") == "<HT<!-- c -->ML>payload")
+    // fixed: the split tag is merged into <HTML>, which pairs with </HTML>
+    assert(row.getAs[String]("fixed") == "<HTML><!-- c -->payload</HTML>")
+  }
 }
