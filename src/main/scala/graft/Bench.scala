@@ -40,6 +40,18 @@ object Bench {
     (System.nanoTime() - t0) / 1e6
   }
 
+  /** (steal, idle+iowait, total) jiffies from /proc/stat — hypervisor
+    * steal is the signature of the VM being throttled while its own
+    * single-thread probes stay fast.
+    */
+  def cpuStat(): (Long, Long, Long) =
+    try {
+      val l = scala.io.Source.fromFile("/proc/stat").getLines().next()
+      val f = l.split("\\s+").drop(1).map(_.toLong)
+      val steal = if (f.length > 7) f(7) else 0L
+      (steal, f(3) + (if (f.length > 4) f(4) else 0L), f.sum)
+    } catch { case _: Throwable => (0L, 0L, 1L) }
+
   /** The headline subset (scan+parse heavy / shuffle heavy / join heavy). */
   val headline: Seq[String] = Seq(
     "q_pipeline_extract", "q_roundtrip", "q_find_links", "q_extract_main",
@@ -81,37 +93,53 @@ object Bench {
       runQuery(graft.spark.Pipeline.extractTurns(t).toDF())
     }
 
-    val results: Seq[(String, Seq[Double], Seq[Double])] = headline.flatMap { name =>
-      SparkEntry.queries.get(name).map { fn =>
-        val times = (0 until reps).map { _ =>
-          val cal = calibrate()
-          val t0 = System.nanoTime()
-          try runQuery(fn(spark, sfDir))
-          catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-          ((System.nanoTime() - t0) / 1e9, cal)
+    // optional comma-separated subset for targeted re-measurement
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    val selected = only.fold(headline)(f => headline.filter(f))
+    final case class Rep(sec: Double, calMs: Double, stealPct: Double, gcPct: Double)
+    import scala.jdk.CollectionConverters._
+    def gcMs: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    val results: Seq[(String, Seq[Rep])] =
+      selected.flatMap { name =>
+        SparkEntry.queries.get(name).map { fn =>
+          val times = (0 until reps).map { _ =>
+            val cal = calibrate()
+            val (st0, _, tot0) = cpuStat()
+            val gc0 = gcMs
+            val t0 = System.nanoTime()
+            try runQuery(fn(spark, sfDir))
+            catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+            val sec = (System.nanoTime() - t0) / 1e9
+            val (st1, _, tot1) = cpuStat()
+            val stealPct =
+              if (tot1 > tot0) 100.0 * (st1 - st0) / (tot1 - tot0) else 0.0
+            // steal and driver-JVM GC share of the wall window: the two
+            // attributable explanations for a slow replicate
+            val gcPct = if (sec > 0) (gcMs - gc0) / 10.0 / sec else 0.0
+            Rep(sec, cal, stealPct, gcPct)
+          }
+          (name, times)
         }
-        (name, times.map(_._1), times.map(_._2))
       }
-    }
 
     def jnum(v: Double): String = f"$v%.3f"
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
-    val qMin = results.map { case (k, ts, _) => "\"" + k + "\":" + jnum(ts.min) }
-      .mkString("{", ",", "}")
-    val qMed = results.map { case (k, ts, _) => "\"" + k + "\":" + jnum(median(ts)) }
-      .mkString("{", ",", "}")
-    val qAll = results.map { case (k, ts, _) =>
-      "\"" + k + "\":" + ts.map(jnum).mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    val cAll = results.map { case (k, _, cs) =>
-      "\"" + k + "\":" + cs.map(c => f"$c%.0f").mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    val totalMin = results.map(_._2.min).sum
-    val totalMed = results.map(t => median(t._2)).sum
-    val pipeSec = results.find(_._1 == "q_pipeline_extract").map(_._2.min).getOrElse(Double.NaN)
+    def obj(f: (String, Seq[Rep]) => String): String =
+      results.map { case (k, rs) => "\"" + k + "\":" + f(k, rs) }.mkString("{", ",", "}")
+    val qMin = obj((_, rs) => jnum(rs.map(_.sec).min))
+    val qMed = obj((_, rs) => jnum(median(rs.map(_.sec))))
+    val qAll = obj((_, rs) => rs.map(r => jnum(r.sec)).mkString("[", ",", "]"))
+    val cAll = obj((_, rs) => rs.map(r => f"${r.calMs}%.0f").mkString("[", ",", "]"))
+    val sAll = obj((_, rs) => rs.map(r => f"${r.stealPct}%.1f").mkString("[", ",", "]"))
+    val gAll = obj((_, rs) => rs.map(r => f"${r.gcPct}%.1f").mkString("[", ",", "]"))
+    val totalMin = results.map(_._2.map(_.sec).min).sum
+    val totalMed = results.map(t => median(t._2.map(_.sec))).sum
+    val pipeSec = results.find(_._1 == "q_pipeline_extract")
+      .map(_._2.map(_.sec).min).getOrElse(Double.NaN)
     val tps = if (pipeSec > 0) nTurns / pipeSec else 0.0
     val heapG = Runtime.getRuntime.maxMemory() / (1 << 30)
-    println(s"""{"metric":"total","value":${jnum(totalMin)},"unit":"sec","queries":$qMin,"queries_median":$qMed,"total_median":${jnum(totalMed)},"reps":$reps,"queries_all_sec":$qAll,"calib_ms":$cAll,"input":"materialized-parquet","sf":"$sfDir","turns":$nTurns,"turns_per_sec":${f"$tps%.1f"},"cpus":$cpus,"heap_gib":$heapG}""")
+    println(s"""{"metric":"total","value":${jnum(totalMin)},"unit":"sec","queries":$qMin,"queries_median":$qMed,"total_median":${jnum(totalMed)},"reps":$reps,"queries_all_sec":$qAll,"calib_ms":$cAll,"steal_pct":$sAll,"gc_pct":$gAll,"input":"materialized-parquet","sf":"$sfDir","turns":$nTurns,"turns_per_sec":${f"$tps%.1f"},"cpus":$cpus,"heap_gib":$heapG}""")
     spark.stop()
     // free the /dev/shm staging copy (RAM-backed — must not accumulate)
     import scala.jdk.CollectionConverters._

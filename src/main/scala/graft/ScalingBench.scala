@@ -23,7 +23,11 @@ object ScalingBench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val nExec = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt
+    // N=1 => 4 vs 16 executor cores: the 4N level still leaves half the
+    // 32-CPU host idle, so the comparison measures the ENGINE's scaling,
+    // not the host's memory-bandwidth ceiling (r1 ran 8 vs 32 cores and
+    // measured the saturated host)
+    val nExec = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "1").toInt
     val repl = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPL", "8").toInt
     val jar = findJar()
     val mode =
@@ -38,8 +42,11 @@ object ScalingBench {
       import org.apache.spark.sql.functions._
       val s = session("local[32]", 32, None)
       // heavy mode: multiply the prose block (~3-6 KB/turn instead of
-      // ~850 B) — the realistic web-page-fragment regime
-      val heavy = sys.env.getOrElse("SPARK_GRAFT_SCALE_HEAVY", "1").toInt
+      // ~850 B) — the realistic web-page-fragment regime, and more parse
+      // compute per shuffled byte (keeps the job CPU-bound, which is what
+      // a real multi-node cluster looks like: every node brings its own
+      // memory bandwidth)
+      val heavy = sys.env.getOrElse("SPARK_GRAFT_SCALE_HEAVY", "4").toInt
       val t0 = Transcripts.derive(s, sfDir)
       val pad = s"<section><h2>pad heading</h2><p>${"pad word block " * 16}</p></section>"
       val t = if (heavy <= 1) t0
@@ -74,7 +81,7 @@ object ScalingBench {
 
     // interleave levels A/B/A/B/A/B so background-load drift hits both
     // symmetrically; median per level
-    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "5").toInt
     val timesN = new scala.collection.mutable.ArrayBuffer[Double]()
     val times4N = new scala.collection.mutable.ArrayBuffer[Double]()
     (0 until reps).foreach { _ =>
@@ -91,6 +98,10 @@ object ScalingBench {
     val eff = thr4N / (4.0 * thrN)
     val effMin = (cnt / times4N.min) / (4.0 * (cnt / timesN.min))
     println(f"""{"metric":"scaling_efficiency","value":$eff%.3f,"value_min_based":$effMin%.3f,"mode":"$mode","n_executors":$nExec,"n4_executors":${4 * nExec},"cores_per_executor":$CoresPerExec,"turns":$cnt,"sec_n":$secN%.2f,"sec_4n":$sec4N%.2f,"turns_per_sec_n":$thrN%.1f,"turns_per_sec_4n":$thr4N%.1f,"all_sec_n":${timesN.map(t => f"$t%.2f").mkString("[", ",", "]")},"all_sec_4n":${times4N.map(t => f"$t%.2f").mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    // free the /dev/shm staging copy (RAM-backed — must not accumulate)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(work)).iterator().asScala
+      .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
   }
 
   private def findJar(): Option[String] = {

@@ -186,6 +186,14 @@ object SparkEntry {
         .select(col("a"), col("b"))),
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.exactNgramJaccardPairs(docs(s, dir), threshold = 0.5)),
+    // the production tiering: exact n-gram Jaccard verification runs only
+    // over LSH candidates (q_ngram_jaccard above is the corpus-wide exact
+    // form, affordable only as a small-scale oracle)
+    "q_neardup_verified" -> ((s, dir) => {
+      val d = Dedup.withPerturbed(docs(s, dir))
+      val cand = Dedup.nearDupPairs(d, simThreshold = 0.8).select(col("a"), col("b"))
+      Dedup.ngramJaccardPairs(d, cand, threshold = 0.5).select(col("a"), col("b"))
+    }),
     "q_simhash" -> ((s, dir) =>
       Dedup.simhashTable(docs(s, dir))),
     "q_fingerprints" -> ((s, dir) =>
