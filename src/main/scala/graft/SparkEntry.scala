@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.spark.{Dedup, Embeddings, HtmlFunctions => H, Multimodal, Pipeline, Transcripts}
+import graft.spark.{Dedup, Embeddings, Events, HtmlFunctions => H, Multimodal, Pipeline, Transcripts}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -161,6 +161,28 @@ object SparkEntry {
         .groupBy(col("role"))
         .agg(count(lit(1)).as("n"), sum(length(col("text"))).as("total_chars"))
     }),
+    // ===== streaming (Trigger.AvailableNow) ================================
+    // the same extraction operator driven through Structured Streaming:
+    // transcripts staged as files -> readStream -> extract -> parquet sink;
+    // the returned DF reads the sink, so the oracle checks the streaming
+    // path end-to-end (exact per-turn text equality)
+    "q_stream_extract" -> ((s, dir) => {
+      import graft.spark.StreamingExtraction
+      val work = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("/tmp"), "graft-stream-q").toString
+      Transcripts.derive(s, dir)
+        .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
+          col("tool"), col("ts"))
+        .write.mode("overwrite").parquet(s"$work/in")
+      StreamingExtraction.runAvailableNow(s, s"$work/in", s"$work/out")
+      StreamingExtraction.readExtracted(s, s"$work/out")
+        .select(col("conv_id"), col("turn_idx"), col("extracted_text"))
+    }),
+    // ===== event-stream ops over events ====================================
+    "q_sessionize" -> ((s, dir) =>
+      Events.sessionize(s.read.parquet(s"$dir/events.parquet"), gapMinutes = 30)),
+    "q_session_stats" -> ((s, dir) =>
+      Events.sessionStats(s.read.parquet(s"$dir/events.parquet"), gapMinutes = 30)),
     // ===== text analysis over documents ===================================
     "q_token_count" -> ((s, dir) => {
       val tok = udf((t: String) => graft.text.TextAnalysis.wsTokenCount(t))
@@ -213,7 +235,7 @@ object SparkEntry {
   )
 
   // ===== per-variant oracle constants ======================================
-  // The transcripts template carries a turn_idx%5-selected quirk block
+  // The transcripts template carries a turn_idx%7-selected quirk block
   // (Transcripts.textSqlExpr). Every constant below was derived BY HAND
   // from the reference semantics (dhtmlparser.d:869-922 tree building,
   // 533-587 prettify, 287-429 classifier; quirk ledger SURVEY.md §2.5)
@@ -227,13 +249,16 @@ object SparkEntry {
   //  - v4: tagToString re-renders the single-quoted attr double-quoted
   //    with backslash-escaped inner quotes (Q12, quote_escaper.d:29-40).
 
-  /** n_nodes delta per variant (extra tokens; no stray endtags). */
-  private val NodeDeltaCase =
-    "CASE turn_idx % 5 WHEN 1 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 4 WHEN 4 THEN 3 ELSE 0 END"
-  /** parse-error (forced-nonpair tag) count per variant: only v3's outer
-    * section counts (comments/text forced nonpair are not errors).
+  /** n_nodes delta per variant (nNodes = tokens - droppedEndtags):
+    * v5 adds 3 tokens; v6 adds 1 token that is itself dropped => 0.
     */
-  private val ErrDeltaCase = "CASE WHEN turn_idx % 5 = 3 THEN 1 ELSE 0 END"
+  private val NodeDeltaCase =
+    "CASE turn_idx % 7 WHEN 1 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 4 WHEN 4 THEN 3 WHEN 5 THEN 3 ELSE 0 END"
+  /** parse-error count per variant: v3's forced-nonpair outer section and
+    * v6's dropped stray endtag (comments/text forced nonpair are not
+    * errors).
+    */
+  private val ErrDeltaCase = "CASE WHEN turn_idx % 7 IN (3, 6) THEN 1 ELSE 0 END"
 
   private case class DomRow(id: Int, parent: Int, pos: Int, depth: Int,
                             kind: Int, tag: String, nonpair: Boolean)
@@ -269,14 +294,18 @@ object SparkEntry {
       3 -> (Seq(DomRow(37,8,6,3,2,"section",true), DomRow(38,8,7,3,2,"section",false),
                 DomRow(40,8,8,3,3,"section",false)) ++ tails(41)),
       // v4: text child id 38 omitted
-      4 -> (Seq(DomRow(37,8,6,3,2,"span",false), DomRow(39,8,7,3,3,"span",false)) ++ tails(40)))
+      4 -> (Seq(DomRow(37,8,6,3,2,"span",false), DomRow(39,8,7,3,3,"span",false)) ++ tails(40)),
+      // v5: same shape as v4 (pre + text(38, omitted) + /pre)
+      5 -> (Seq(DomRow(37,8,6,3,2,"pre",false), DomRow(39,8,7,3,3,"pre",false)) ++ tails(40)),
+      // v6: the stray endtag never enters the tree (Q18) — arena = base
+      6 -> tails(37))
   }
 
   private def sqlStr(s: String) = "'" + s.replace("'", "''") + "'"
 
   /** DuckDB VALUES list of (variant, node rows) for q_dom_nodes. */
   private def domValuesSql: String =
-    (0 to 4).flatMap { v =>
+    (0 to 6).flatMap { v =>
       (DomBase ++ DomExtra(v)).map(r =>
         s"($v,${r.id},${r.parent},${r.pos},${r.depth},${r.kind},${sqlStr(r.tag)},${r.nonpair})")
     }.mkString(",")
@@ -300,8 +329,10 @@ object SparkEntry {
       1 -> Seq(("<!-- note 11 -->", false)), // comments are tags (Q1), raw tagname (Q6)
       2 -> Seq(("br",false),("hr",false),("img",false)),
       3 -> Seq(("section",false),("section",false),("section",true)),
-      4 -> Seq(("span",false),("span",true)))
-    (0 to 4).flatMap { v =>
+      4 -> Seq(("span",false),("span",true)),
+      5 -> Seq(("pre",false),("pre",true)),
+      6 -> Seq.empty) // stray endtag dropped before the tree exists
+    (0 to 6).flatMap { v =>
       (prefix ++ variantTags(v) ++ tail).zipWithIndex.map { case ((t, e), i) =>
         s"($v,$i,${sqlStr(t)},$e)"
       }
@@ -314,11 +345,12 @@ object SparkEntry {
     * normalized re-escape.
     */
   private val PrettyVariantExpr: String =
-    """CASE turn_idx % 5
+    """CASE turn_idx % 7
       | WHEN 1 THEN '    <!-- note 11 -->' || chr(10)
       | WHEN 2 THEN '    <br>' || chr(10) || '    <hr>' || chr(10) || '    <img src="/x.png">' || chr(10)
       | WHEN 3 THEN '    <section>' || chr(10) || '    <section>nested</section>' || chr(10)
       | WHEN 4 THEN '    <span title="say \"hi\" now">q</span>' || chr(10)
+      | WHEN 5 THEN '    <pre> a  b </pre>' || chr(10)
       | ELSE '' END""".stripMargin.replace("\n", "")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -335,7 +367,7 @@ object SparkEntry {
     val extractExpr = Transcripts.OracleExtractExpr
     Map(
       "q_roundtrip" ->
-        s"$cte SELECT conv_id, turn_idx, $textExpr AS rt FROM t",
+        s"$cte SELECT conv_id, turn_idx, ${Transcripts.OracleRoundtripExpr} AS rt FROM t",
       "q_find_links" ->
         s"""$cte SELECT conv_id, turn_idx, 0 AS pos, '/home' AS href FROM t
            | UNION ALL SELECT conv_id, turn_idx, 1, '/about' FROM t
@@ -347,7 +379,7 @@ object SparkEntry {
         s"""$cte SELECT conv_id, turn_idx, '<div class="main" id="main">' AS tag_str FROM t""",
       "q_span_tag_string" ->
         s"""$cte SELECT conv_id, turn_idx,
-           | CASE WHEN turn_idx % 5 = 4 THEN '<span title="say \\"hi\\" now">' ELSE '' END AS tag_str
+           | CASE WHEN turn_idx % 7 = 4 THEN '<span title="say \\"hi\\" now">' ELSE '' END AS tag_str
            | FROM t""".stripMargin.replace("\n", ""),
       "q_find_nodes" ->
         s"""$cte SELECT conv_id, turn_idx, 10 AS node_id, 'a' AS tagname, '/home' AS href FROM t""",
@@ -384,12 +416,12 @@ object SparkEntry {
            | v.depth, v.kind, v.tagname, v.nonpair
            | FROM t JOIN (VALUES $domValuesSql)
            | AS v(variant,node_id,parent_id,pos,depth,kind,tagname,nonpair)
-           | ON v.variant = t.turn_idx % 5""".stripMargin.replace("\n", ""),
+           | ON v.variant = t.turn_idx % 7""".stripMargin.replace("\n", ""),
       "q_bfs_order" ->
         s"""$cte SELECT t.conv_id, t.turn_idx, v.bfs_pos, v.tagname, v.is_end
            | FROM t JOIN (VALUES $bfsValuesSql)
            | AS v(variant,bfs_pos,tagname,is_end)
-           | ON v.variant = t.turn_idx % 5""".stripMargin.replace("\n", ""),
+           | ON v.variant = t.turn_idx % 7""".stripMargin.replace("\n", ""),
       "q_prettify" ->
         s"""$cte SELECT conv_id, turn_idx,
            | '<html>' || chr(10) ||
@@ -422,9 +454,31 @@ object SparkEntry {
            | || '<p>' || dtext || '</p>'
            | || '<p>order ' || okey || ' line ' || lnum || ' flag ' || rf || ' status ' || ls || '</p>'
            | || '<a href="/ord/' || okey || '/' || lnum || '">details</a></div>'
-           | || (${Transcripts.OracleVariantExpr})
+           | || (${Transcripts.OracleKeptVariantExpr})
            | || '</body></html>' AS stripped FROM t"""
           .stripMargin.replace("\n", ""),
+      "q_stream_extract" ->
+        s"$cte SELECT conv_id, turn_idx, $extractExpr AS extracted_text FROM t",
+      "q_sessionize" ->
+        """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+          | lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+          | FROM events)
+          |SELECT event_id, user_id,
+          | CAST(sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+          |   OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+          |   AS session_idx
+          |FROM e""".stripMargin.replace("\n", " "),
+      "q_session_stats" ->
+        """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+          | lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+          | FROM events),
+          |s AS (SELECT event_id, user_id, ts_us,
+          | CAST(sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+          |   OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+          |   AS session_idx FROM e)
+          |SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
+          | CAST(max(ts_us) - min(ts_us) AS BIGINT) AS span_us
+          |FROM s GROUP BY 1, 2""".stripMargin.replace("\n", " "),
       "q_token_count" ->
         """SELECT doc_id, CAST(1 + length(text) - length(replace(text, ' ', '')) AS INT)
           | AS n_tokens FROM documents""".stripMargin.replace("\n", ""),

@@ -1,0 +1,56 @@
+package graft.spark
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators over the driver's events table
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * Sessionization is the classic pipeline op the transcripts work
+  * doesn't exercise: a per-key ordered window (lag + cumulative sum)
+  * rather than a per-row projection.
+  *
+  * Scale notes: one shuffle on user_id (inherent — sessionization needs
+  * per-user order). Skew is bounded by the busiest user's event count;
+  * for adversarial monster keys, pre-split by (user_id, time-bucket) and
+  * merge boundary sessions in a second cheap pass. All arithmetic is in
+  * epoch MICROSECONDS (unix_micros), which DuckDB reproduces exactly
+  * (epoch_us) — no float time math anywhere.
+  */
+object Events {
+
+  /** Assign gap-based session indexes: a new session starts when the gap
+    * since the user's previous event exceeds `gapMinutes`. Total order
+    * inside a user is (ts, event_id) — event_id breaks timestamp ties
+    * deterministically. Returns (event_id, user_id, session_idx) with
+    * session_idx 1-based per user.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    // ts_us is monotone in ts, so ordering by it is the same total order
+    val order = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val gapMicros = gapMinutes.toLong * 60L * 1000000L
+    events
+      // cast: parquet naive timestamps may read as NTZ; session tz is UTC,
+      // so LTZ micros == DuckDB's epoch_us on the naive value
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(order))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapMicros, 1)
+          .otherwise(0))
+      .withColumn("session_idx",
+        sum(col("new_sess")).over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("event_id"), col("user_id"), col("session_idx"))
+  }
+
+  /** Per-session aggregates: event count and span in microseconds. */
+  def sessionStats(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val s = sessionize(events, gapMinutes)
+    events.select(col("event_id"), unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+      .join(s, "event_id")
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("span_us"))
+  }
+}

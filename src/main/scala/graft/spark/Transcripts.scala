@@ -34,7 +34,12 @@ object Transcripts {
     *    same-name opener, dhtmlparser.d:869-890) and becomes a nonpair
     *    LEAF; the inner one pairs with the endtag as its sibling;
     *  - v4 single-quoted attr with embedded `"`: Q8 both quote styles,
-    *    Q12 tagToString re-escape (`title="say \"hi\" now"`).
+    *    Q12 tagToString re-escape (`title="say \"hi\" now"`);
+    *  - v5 `<pre>` block: Q15 verbatim pre-mode in prettify (empty
+    *    separator, inner whitespace preserved, dhtmlparser.d:545-548);
+    *  - v6 spaced stray endtag `< /q3>`: Q3 (whitespace between `<` and
+    *    `/` still classifies as endtag) + Q18 (stray endtags are DROPPED
+    *    by parseDOM) — the one variant where toHtml != input.
     */
   def textSqlExpr: String =
     """concat(
@@ -45,11 +50,13 @@ object Transcripts {
       |'<p>order ', okey, ' line ', lnum, ' flag ', rf, ' status ', ls, '</p>',
       |'<a href="/ord/', okey, '/', lnum, '">details</a></div>',
       |'<footer><p>footer boilerplate text</p></footer>',
-      |CASE CAST(turn_idx % 5 AS INT)
+      |CASE CAST(turn_idx % 7 AS INT)
       |  WHEN 1 THEN '<!-- note 11 -->'
       |  WHEN 2 THEN '<br><hr><img src="/x.png">'
       |  WHEN 3 THEN '<section><section>nested</section>'
       |  WHEN 4 THEN concat('<span title=', chr(39), 'say "hi" now', chr(39), '>q</span>')
+      |  WHEN 5 THEN '<pre> a  b </pre>'
+      |  WHEN 6 THEN '< /q3>'
       |  ELSE ''
       |END,
       |'</body></html>')"""
@@ -127,15 +134,23 @@ object Transcripts {
 
   /** The turn's quirk-block as a DuckDB SQL expression (oracle side). */
   val OracleVariantExpr: String =
-    """CASE turn_idx % 5
+    """CASE turn_idx % 7
       | WHEN 1 THEN '<!-- note 11 -->'
       | WHEN 2 THEN '<br><hr><img src="/x.png">'
       | WHEN 3 THEN '<section><section>nested</section>'
       | WHEN 4 THEN '<span title=' || chr(39) || 'say "hi" now' || chr(39) || '>q</span>'
+      | WHEN 5 THEN '<pre> a  b </pre>'
+      | WHEN 6 THEN '< /q3>'
       | ELSE '' END""".stripMargin.replace("\n", "")
 
-  /** The template rendered as a DuckDB SQL expression (oracle side). */
-  val OracleTextExpr: String =
+  /** The quirk-block as it SURVIVES parse+toHtml: identical to
+    * [[OracleVariantExpr]] except v6, whose stray endtag parseDOM drops
+    * (Q18) — used by the roundtrip and remove_boilerplate oracles.
+    */
+  val OracleKeptVariantExpr: String =
+    OracleVariantExpr.replace("WHEN 6 THEN '< /q3>'", "WHEN 6 THEN ''")
+
+  private def textFromVariant(variantExpr: String): String =
     s"""'<html><head><title>conv</title><meta charset="utf-8"></head><body>'
       | || '<nav><a href="/home">Home</a> <a href="/about">About</a></nav>'
       | || '<div class="main" id="main"><h1>Conversation record</h1>'
@@ -143,9 +158,15 @@ object Transcripts {
       | || '<p>order ' || okey || ' line ' || lnum || ' flag ' || rf || ' status ' || ls || '</p>'
       | || '<a href="/ord/' || okey || '/' || lnum || '">details</a></div>'
       | || '<footer><p>footer boilerplate text</p></footer>'
-      | || ($OracleVariantExpr)
+      | || ($variantExpr)
       | || '</body></html>'"""
       .stripMargin.replace("\n", "")
+
+  /** The template rendered as a DuckDB SQL expression (oracle side). */
+  val OracleTextExpr: String = textFromVariant(OracleVariantExpr)
+
+  /** parse+toHtml of the template (= input except v6's dropped endtag). */
+  val OracleRoundtripExpr: String = textFromVariant(OracleKeptVariantExpr)
 
   /** The extract_main expected output as a DuckDB SQL expression. */
   val OracleExtractExpr: String =

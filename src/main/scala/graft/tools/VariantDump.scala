@@ -18,6 +18,8 @@ object VariantDump {
       case 2 => "<br><hr><img src=\"/x.png\">"
       case 3 => "<section><section>nested</section>"
       case 4 => "<span title='say \"hi\" now'>q</span>"
+      case 5 => "<pre> a  b </pre>"
+      case 6 => "< /q3>"
       case _ => ""
     }
     "<html><head><title>conv</title><meta charset=\"utf-8\"></head><body>" +
@@ -32,7 +34,7 @@ object VariantDump {
   }
 
   def main(args: Array[String]): Unit = {
-    (0 to 4).foreach { v =>
+    (0 to 6).foreach { v =>
       val html = template(v)
       println(s"===== variant $v =====")
       println(s"-- input:\n$html")
