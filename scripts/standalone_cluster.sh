@@ -1,0 +1,53 @@
+#!/bin/bash
+# Pinned standalone Spark cluster for scaling evidence: one master +
+# 4 workers, each worker taskset-pinned to a DISJOINT 4-core set
+# (cpus 0-3, 4-7, 8-11, 12-15). Executors inherit the worker's cpuset,
+# so an N=1 run cannot borrow the other 28 cores — the closest
+# single-box proxy for per-node CPU isolation. The driver (sbt) runs
+# unpinned on the remaining cores.
+#
+# Usage: scripts/standalone_cluster.sh start|stop
+set -e
+export SPARK_HOME=${SPARK_HOME:-/opt/spark}
+export SPARK_SCALA_VERSION=2.13
+export SPARK_NO_DAEMONIZE=""
+MASTER_URL="spark://127.0.0.1:7077"
+PIDDIR=/dev/shm/graft-standalone
+LOGDIR=$PIDDIR/logs
+
+start() {
+  mkdir -p "$LOGDIR"
+  "$SPARK_HOME/bin/spark-class" org.apache.spark.deploy.master.Master \
+    --host 127.0.0.1 --port 7077 --webui-port 8089 \
+    > "$LOGDIR/master.log" 2>&1 &
+  echo $! > "$PIDDIR/master.pid"
+  sleep 3
+  for i in 0 1 2 3; do
+    lo=$((i * 4)); hi=$((lo + 3))
+    SPARK_LOCAL_DIRS=/dev/shm/graft-spark-w$i \
+    taskset -c "$lo-$hi" \
+      "$SPARK_HOME/bin/spark-class" org.apache.spark.deploy.worker.Worker \
+      --cores 4 --memory 6g --port $((11000 + i)) --webui-port $((8090 + i)) \
+      --work-dir "$PIDDIR/w$i" "$MASTER_URL" \
+      > "$LOGDIR/worker$i.log" 2>&1 &
+    echo $! >> "$PIDDIR/workers.pid"
+  done
+  sleep 4
+  echo "cluster up: $MASTER_URL (workers pinned to 0-3,4-7,8-11,12-15)"
+}
+
+stop() {
+  [ -f "$PIDDIR/workers.pid" ] && kill $(cat "$PIDDIR/workers.pid") 2>/dev/null || true
+  [ -f "$PIDDIR/master.pid" ] && kill $(cat "$PIDDIR/master.pid") 2>/dev/null || true
+  sleep 1
+  pkill -f "org.apache.spark.deploy.worker.Worker" 2>/dev/null || true
+  pkill -f "org.apache.spark.deploy.master.Master" 2>/dev/null || true
+  rm -rf "$PIDDIR"
+  echo "cluster stopped"
+}
+
+case "$1" in
+  start) start ;;
+  stop) stop ;;
+  *) echo "usage: $0 start|stop"; exit 1 ;;
+esac

@@ -63,6 +63,13 @@ object ScalingBench {
     def masterFor(execs: Int): (String, Int) = mode match {
       case "cluster" =>
         (s"local-cluster[$execs,$CoresPerExec,6144]", execs * CoresPerExec)
+      // mode "external": a running standalone master whose workers are
+      // taskset-pinned to disjoint core sets (scripts/standalone_cluster.sh)
+      // — spark.cores.max selects how many pinned 4-core workers the level
+      // uses; an N=1 run physically cannot borrow the other cores
+      case "external" =>
+        (sys.env.getOrElse("SPARK_GRAFT_MASTER_URL", "spark://127.0.0.1:7077"),
+          execs * CoresPerExec)
       case _ => (s"local[${execs * CoresPerExec}]", execs * CoresPerExec)
     }
 
@@ -78,7 +85,8 @@ object ScalingBench {
     def timed(execs: Int): (Double, Double, Double, Double) = {
       import org.apache.spark.sql.functions.{col, length, sum}
       val (master, cores) = masterFor(execs)
-      val s = session(master, cores, if (mode == "cluster") jar else None)
+      val s = session(master, cores,
+        if (mode == "cluster" || mode == "external") jar else None)
       import s.implicits._
       val turns = s.read.parquet(s"$work/transcripts")
       def fullJob(): Unit =
@@ -179,6 +187,13 @@ object ScalingBench {
         // borrows host-wide JVM threads and deflates measured efficiency
         .config("spark.executor.extraJavaOptions",
           s"-XX:ActiveProcessorCount=$CoresPerExec")
+    }
+    if (master.startsWith("spark://")) {
+      // external pinned standalone cluster: the level's size is selected
+      // by cores.max — 4-core executors land on that many pinned workers
+      b = b.config("spark.cores.max", totalCores.toString)
+        .config("spark.executor.cores", CoresPerExec.toString)
+        .config("spark.executor.memory", "5g")
     }
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
