@@ -66,6 +66,16 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("sessionize: exactly one exchange; both windows share the user_id sort") {
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val plan = Events.sessionize(events).queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"sessionize must shuffle exactly once, got $exchanges:\n$plan")
+    // the scan reads only the three needed columns
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("props") && !readSchema.contains("event_type"))
+  }
+
   test("extraction UDF plan stays a single projection over the scan (no extra shuffle)") {
     val df = spark.read.parquet(turnsParquet)
     val q = df.select(col("conv_id"), col("turn_idx"),
