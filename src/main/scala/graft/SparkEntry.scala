@@ -69,6 +69,14 @@ object SparkEntry {
             H.first_tag_string(col("text"), lit("span"), lit("title"), lit("say \"hi\" now")),
             lit("")).as("tag_str"))
     }),
+    // constructor-built DOM (ctors + closeElements, Q25): params re-render
+    // sorted/escaped/double-quoted, container auto-closes the pair tag
+    "q_build_dom" -> ((s, dir) => {
+      Transcripts.derive(s, dir)
+        .select(col("conv_id"), col("turn_idx"),
+          H.build_tag(lit("div"), lit("id"),
+            col("conv_id"), concat(lit("turn "), col("turn_idx"))).as("built"))
+    }),
     // the reference's generic find(tag, params) surface (SQL-registered
     // as find_nodes): params-subset match via isAlmostEqual (Q21)
     "q_find_nodes" -> ((s, dir) => {
@@ -383,6 +391,10 @@ object SparkEntry {
            | FROM t""".stripMargin.replace("\n", ""),
       "q_find_nodes" ->
         s"""$cte SELECT conv_id, turn_idx, 10 AS node_id, 'a' AS tagname, '/home' AS href FROM t""",
+      "q_build_dom" ->
+        s"""$cte SELECT conv_id, turn_idx,
+           | '<div id="' || conv_id || '">turn ' || turn_idx || '</div>' AS built
+           | FROM t""".stripMargin.replace("\n", ""),
       "q_node_count" ->
         s"$cte SELECT conv_id, turn_idx, 38 + $NodeDeltaCase AS n_nodes FROM t",
       "q_extract_main" ->

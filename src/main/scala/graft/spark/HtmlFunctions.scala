@@ -80,6 +80,17 @@ object HtmlFunctions {
     dom.find(tag, pm).map(n => rows(ids.get(n).intValue)).toSeq
   }
 
+  /** Constructor-built DOM (reference ctor surface, dhtmlparser.d:74-138
+    * + closeElements 721-743, Q25): build `tag` with one param and one
+    * text child, wrap in a container (which auto-closes the unclosed pair
+    * tag and double-links the synthetic endtag), serialize with toHtml.
+    */
+  def buildTagHtml(tag: String, key: String, value: String, text: String): String = {
+    if (tag == null) return null
+    val el = HtmlNode.create(tag, Map(key -> value), Seq(HtmlNode.fromRaw(text)))
+    HtmlNode.container(Seq(el)).toHtml
+  }
+
   /** Round-trip with the repairTagsFixed stage enabled (the flagged
     * comment-split-tag merge the reference *documents* but never executes
     * — Q16; HtmlParser.repairTagsFixed). Diverges from the oracle by
@@ -161,6 +172,7 @@ object HtmlFunctions {
   val parse_html = udf(parseNodes _)
   val find_nodes = udf(findNodes _)
   val to_html_fixed = udf(roundtripFixed _)
+  val build_tag = udf(buildTagHtml _)
   val dom_tag_nodes = udf(domTagNodes _)
   val bfs_tag_order = udf(bfsTagOrder _)
   val remove_tags = udf(removeTags _)
@@ -183,6 +195,7 @@ object HtmlFunctions {
     spark.udf.register("parse_html", parse_html)
     spark.udf.register("find_nodes", find_nodes)
     spark.udf.register("to_html_fixed", to_html_fixed)
+    spark.udf.register("build_tag", build_tag)
     spark.udf.register("find_links", find_links)
     spark.udf.register("get_content", get_content)
     spark.udf.register("get_contents", get_contents)
