@@ -34,6 +34,27 @@ import org.apache.spark.util.CollectionAccumulator
   */
 object Pipeline {
 
+  /** Bounded "first k turns by turn_idx" aggregator: the buffer never
+    * exceeds k entries, so the map-side partial aggregate ships at most
+    * k turns per conversation per partition through the exchange (same
+    * pattern as Embeddings.TopKBySim).
+    */
+  final class FirstKTurns(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Int, String), Seq[(Int, String)], Seq[(Int, String)]] {
+    def zero: Seq[(Int, String)] = Seq.empty
+    def reduce(buf: Seq[(Int, String)], a: (Int, String)): Seq[(Int, String)] =
+      if (buf.length >= k && a._1 >= buf.last._1) buf
+      else ((buf :+ a).sortBy(_._1)).take(k)
+    def merge(b1: Seq[(Int, String)], b2: Seq[(Int, String)]): Seq[(Int, String)] =
+      (b1 ++ b2).sortBy(_._1).take(k)
+    def finish(r: Seq[(Int, String)]): Seq[(Int, String)] = r
+    def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Int, String)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Int, String)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
   final case class Config(partitions: Int = 0, // 0 = spark.sql.shuffle.partitions
                           maxTextChars: Int = 4 << 20,
                           snapshotId: String = "parquet-v0",
@@ -95,6 +116,31 @@ object Pipeline {
           def next(): ExtractedTurn = out.next()
         }
       }
+  }
+
+  /** Reassembly with a hard cap on buffered turns per conversation: the
+    * bounded aggregator keeps only the FIRST `maxTurns` turns (by
+    * turn_idx), so a 10^6-turn monster conversation costs the reducer
+    * O(maxTurns), not O(conv size) — the conversation-level analog of the
+    * oversize-text guard. Truncation is observable, never silent:
+    * n_turns carries the TRUE turn count (> maxTurns means conv_text was
+    * truncated). Use [[conversations]] when full texts are required and
+    * conversation sizes are known-bounded.
+    */
+  def conversationsCapped(extracted: Dataset[ExtractedTurn],
+                          maxTurns: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val firstK = udaf(new FirstKTurns(maxTurns), ExpressionEncoder[(Int, String)]())
+    extracted
+      .groupBy(col("conv_id"))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        sum(col("n_nodes")).as("n_nodes"),
+        sum(col("n_errors")).as("n_errors"),
+        firstK(col("turn_idx"), col("extracted_text")).as("turns_sorted"))
+      .select(col("conv_id"), col("n_turns"), col("n_nodes"), col("n_errors"),
+        array_join(transform(col("turns_sorted"), t => t.getField("_2")), "\n")
+          .as("conv_text"))
   }
 
   /** Reassembly: one shuffle on conv_id, turns ordered within each

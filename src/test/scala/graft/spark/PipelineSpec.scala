@@ -50,6 +50,26 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("capped conversations: equals uncapped under the cap; truncation observable above it") {
+    val df = spark.createDataset(quirkTurns).toDF()
+    val ex = Pipeline.extractTurns(df)
+    // generous cap: identical to the unbounded path
+    val uncapped = Pipeline.conversations(ex)
+      .collect().map(r => r.getString(0) -> r.getAs[String]("conv_text")).toMap
+    val roomy = Pipeline.conversationsCapped(ex, maxTurns = 100)
+      .collect().map(r => r.getString(0) -> r.getAs[String]("conv_text")).toMap
+    assert(roomy == uncapped)
+    // cap of 2: conv_text holds the FIRST two turns; n_turns stays true
+    val capped = Pipeline.conversationsCapped(ex, maxTurns = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    quirkTurns.groupBy(_.conv_id).foreach { case (c, ts) =>
+      val want = ts.sortBy(_.turn_idx).take(2)
+        .map(t => Extractor.extract(t.text).text).mkString("\n")
+      assert(capped(c).getAs[String]("conv_text") == want, s"conv $c")
+      assert(capped(c).getAs[Long]("n_turns") == ts.size.toLong)
+    }
+  }
+
   test("reassembled output is sorted by (conv_id, turn_idx) within partitions") {
     val df = spark.createDataset(quirkTurns).toDF()
     val parts = Pipeline.reassembled(Pipeline.extractTurns(df))
