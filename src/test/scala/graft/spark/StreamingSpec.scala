@@ -41,4 +41,62 @@ class StreamingSpec extends SparkTestBase {
       assert(got(t.conv_id) == Extractor.extract(t.text).text)
     }
   }
+
+  test("stateful streaming sessionize == batch sessionize; state continues across runs") {
+    val dir = tmpDir("graft-sess")
+    val in = s"$dir/in"; val out = s"$dir/out"
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+
+    // first run: the earlier half of the stream (files landed so far)
+    val tsUs = unix_micros(col("ts").cast("timestamp"))
+    val cut = events.agg(expr("percentile_approx(unix_micros(cast(ts as timestamp)), 0.5)"))
+      .head.getLong(0)
+    events.filter(tsUs <= cut).write.mode("append").parquet(in)
+    val n1 = StreamingSessions.runAvailableNow(spark, in, out)
+    assert(n1 > 0)
+
+    // second run: the rest lands later; state store continues numbering
+    events.filter(tsUs > cut).write.mode("append").parquet(in)
+    val n2 = StreamingSessions.runAvailableNow(spark, in, out)
+    assert(n1 + n2 == events.count())
+
+    // the two-run streaming assignment equals the one-shot batch operator
+    // (each user's events are time-split across the runs, so this checks
+    // genuine cross-batch state, not just per-batch folding)
+    val streamed = StreamingSessions.readSessions(spark, out)
+      .select("event_id", "session_idx").as[(Long, Long)].collect().toMap
+    val batch = Events.sessionize(events, gapMinutes = 30)
+      .select("event_id", "session_idx").as[(Long, Long)].collect().toMap
+    assert(streamed == batch)
+  }
+
+  test("watermarked tumbling-window aggregation matches the batch equivalent") {
+    val dir = tmpDir("graft-win")
+    val in = s"$dir/in"
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.write.mode("append").parquet(in)
+
+    val q = StreamingSessions.eventCountsPerWindow(
+        spark.readStream.schema(StreamingSessions.eventSchema).parquet(in))
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // Append emits only windows finalized by the watermark; every emitted
+    // row must match the batch aggregation exactly
+    val streamed = spark.table("win_counts")
+      .as[(java.sql.Timestamp, String, Long)].collect()
+      .map(r => (r._1.getTime, r._2) -> r._3).toMap
+    val batch = events
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("timestamp").cast("long") * 1000,
+        col("event_type"), col("n"))
+      .as[(Long, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(streamed.nonEmpty)
+    streamed.foreach { case (k, n) => assert(batch(k) == n, s"window $k") }
+  }
 }
