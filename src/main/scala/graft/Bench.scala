@@ -54,7 +54,7 @@ object Bench {
 
   /** The headline subset (scan+parse heavy / shuffle heavy / join heavy). */
   val headline: Seq[String] = Seq(
-    "q_pipeline_extract", "q_roundtrip", "q_find_links", "q_extract_main",
+    "q_pipeline_extract", "q_pipeline_onepass", "q_roundtrip", "q_find_links", "q_extract_main",
     "q_conversations", "q_get_content", "q_dedup_exact", "q_ngram_jaccard",
     "q_neardup_pairs", "q_embed_topk", "q_media_features", "q_token_count")
 
@@ -137,9 +137,12 @@ object Bench {
     val totalMed = results.map(t => median(t._2.map(_.sec))).sum
     val pipeSec = results.find(_._1 == "q_pipeline_extract")
       .map(_._2.map(_.sec).min).getOrElse(Double.NaN)
+    val onePassSec = results.find(_._1 == "q_pipeline_onepass")
+      .map(_._2.map(_.sec).min).getOrElse(Double.NaN)
     val tps = if (pipeSec > 0) nTurns / pipeSec else 0.0
+    val tps1 = if (onePassSec > 0) nTurns / onePassSec else 0.0
     val heapG = Runtime.getRuntime.maxMemory() / (1 << 30)
-    println(s"""{"metric":"total","value":${jnum(totalMin)},"unit":"sec","queries":$qMin,"queries_median":$qMed,"total_median":${jnum(totalMed)},"reps":$reps,"queries_all_sec":$qAll,"calib_ms":$cAll,"steal_pct":$sAll,"gc_pct":$gAll,"input":"materialized-parquet","sf":"$sfDir","turns":$nTurns,"turns_per_sec":${f"$tps%.1f"},"cpus":$cpus,"heap_gib":$heapG}""")
+    println(s"""{"metric":"total","value":${jnum(totalMin)},"unit":"sec","queries":$qMin,"queries_median":$qMed,"total_median":${jnum(totalMed)},"reps":$reps,"queries_all_sec":$qAll,"calib_ms":$cAll,"steal_pct":$sAll,"gc_pct":$gAll,"input":"materialized-parquet","sf":"$sfDir","turns":$nTurns,"turns_per_sec":${f"$tps%.1f"},"turns_per_sec_onepass":${f"$tps1%.1f"},"cpus":$cpus,"heap_gib":$heapG}""")
     spark.stop()
     // free the /dev/shm staging copy (RAM-backed — must not accumulate)
     import scala.jdk.CollectionConverters._

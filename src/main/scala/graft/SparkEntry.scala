@@ -109,6 +109,13 @@ object SparkEntry {
       val extracted = Pipeline.extractTurns(Transcripts.derive(s, dir))
       Pipeline.conversations(extracted)
     }),
+    // the one-exchange pipeline (range partition + in-partition sort):
+    // same output, same oracle, half the shuffled text bytes
+    "q_pipeline_onepass" -> ((s, dir) => {
+      Pipeline.extractReassembledOnePass(Transcripts.derive(s, dir)).toDF()
+        .select(col("conv_id"), col("turn_idx"), col("extracted_text"),
+          col("n_nodes"), col("n_errors"))
+    }),
     // find("a") expressed RELATIONALLY over the exploded node arena
     // (SURVEY.md §2.2: node-table filter; node_id order = DFS pre-order) —
     // must equal q_find_links' UDF-side result
@@ -400,6 +407,10 @@ object SparkEntry {
       "q_extract_main" ->
         s"$cte SELECT conv_id, turn_idx, $extractExpr AS extracted_text FROM t",
       "q_pipeline_extract" ->
+        s"""$cte SELECT conv_id, turn_idx, $extractExpr AS extracted_text,
+           | 38 + $NodeDeltaCase AS n_nodes, $ErrDeltaCase AS n_errors FROM t"""
+          .stripMargin.replace("\n", ""),
+      "q_pipeline_onepass" ->
         s"""$cte SELECT conv_id, turn_idx, $extractExpr AS extracted_text,
            | 38 + $NodeDeltaCase AS n_nodes, $ErrDeltaCase AS n_errors FROM t"""
           .stripMargin.replace("\n", ""),

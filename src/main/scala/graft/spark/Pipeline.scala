@@ -161,6 +161,45 @@ object Pipeline {
           .as("conv_text"))
   }
 
+  /** ONE-SHUFFLE extraction + reassembly: range-repartition the input on
+    * (conv_id, turn_idx), extract, then sort within partitions — the
+    * output is globally ordered by (conv_id, turn_idx) with NO second
+    * exchange. Equivalent skew defense to the hash salt: the range
+    * partitioner's sampled splits cut a monster conversation into
+    * turn_idx ranges across many partitions, while small conversations
+    * pack together. vs [[extractTurns]]+[[reassembled]] this halves the
+    * text bytes crossing the wire (the round-1 shape shuffled the input
+    * once on the salt AND the extracted text again on conv_id); the cost
+    * is the range partitioner's input sampling pass (scan-only, cheap).
+    */
+  def extractReassembledOnePass(turns: DataFrame,
+                                cfg: Config = Config()): Dataset[ExtractedTurn] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    val parts =
+      if (cfg.partitions > 0) cfg.partitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val maxChars = cfg.maxTextChars
+    val repairFixed = cfg.repairTagsFixed
+    turns
+      .select(col("conv_id"), col("turn_idx"), col("text"))
+      .repartitionByRange(parts, col("conv_id"), col("turn_idx"))
+      .as[(String, Int, String)]
+      .mapPartitions { it =>
+        it.map { case (conv, idx, text) =>
+          val t = if (text == null) "" else text
+          if (t.length > maxChars) ExtractedTurn(conv, idx, "", Seq.empty, 0, 1)
+          else {
+            val r = Extractor.extract(t, repairFixed)
+            ExtractedTurn(conv, idx, r.text,
+              r.spans.map(s => SpanRec(s.start, s.end, s.kind)), r.nNodes, r.nErrors)
+          }
+        }
+      }
+      .sortWithinPartitions(col("conv_id"), col("turn_idx"))
+      .as[ExtractedTurn]
+  }
+
   /** Per-turn output in stable (conv_id, turn_idx) order — the shape the
     * per-turn oracle compares (north_rule: "per-turn text equality under
     * stable turn ordering").

@@ -50,6 +50,23 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("one-pass pipeline == salt+reassemble pipeline (rows, order, spans)") {
+    val df = spark.createDataset(quirkTurns).toDF()
+    val classic = Pipeline.reassembled(Pipeline.extractTurns(df)).collect()
+      .map(e => (e.conv_id, e.turn_idx) -> e).toMap
+    val onePass = Pipeline.extractReassembledOnePass(df)
+    // globally ordered (range partitions + in-partition sort)
+    val keys = onePass.collect().map(e => (e.conv_id, e.turn_idx)).toVector
+    assert(keys == keys.sorted)
+    val op = onePass.collect().map(e => (e.conv_id, e.turn_idx) -> e).toMap
+    assert(op.keySet == classic.keySet)
+    op.foreach { case (k, e) =>
+      val c = classic(k)
+      assert(e.extracted_text == c.extracted_text && e.n_nodes == c.n_nodes &&
+        e.n_errors == c.n_errors && e.spans == c.spans, s"turn $k")
+    }
+  }
+
   test("capped conversations: equals uncapped under the cap; truncation observable above it") {
     val df = spark.createDataset(quirkTurns).toDF()
     val ex = Pipeline.extractTurns(df)

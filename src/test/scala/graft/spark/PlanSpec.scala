@@ -66,6 +66,15 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("one-pass pipeline: exactly one exchange (range), no second text shuffle") {
+    val df = spark.read.parquet(turnsParquet)
+    val plan = Pipeline.extractReassembledOnePass(df)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"one-pass pipeline must shuffle once, got $exchanges:\n$plan")
+    assert(plan.contains("rangepartitioning"), s"expected range partitioning:\n$plan")
+  }
+
   test("sessionize: exactly one exchange; both windows share the user_id sort") {
     val events = spark.read.parquet(s"$sf/events.parquet")
     val plan = Events.sessionize(events).queryExecution.executedPlan.toString
