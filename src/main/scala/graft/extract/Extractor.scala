@@ -53,28 +53,25 @@ object Extractor {
     val spans = new ArrayBuffer[Span]()
     var linkChars = 0
     def totalChars: Int = sb.length
+    def reset(): Unit = { sb.setLength(0); spans.clear(); linkChars = 0 }
   }
+
+  private final case class KeptBlock(text: String, spans: Seq[Span])
 
   def extract(html: String, repairFixed: Boolean = false): ExtractResult = {
     val (dom, stats) = HtmlParser.parseWithStats(html, repairFixed)
 
-    val kept = new ArrayBuffer[Block]()
-    var cur = new Block
+    val kept = new ArrayBuffer[KeptBlock]()
+    val cur = new Block // reused across blocks (flush() is the hot call)
 
     def flush(): Unit = {
       if (cur.totalChars > 0) {
         val stripped = Ascii.strip(cur.sb.toString)
-        val density =
-          if (cur.totalChars == 0) 0.0
-          else cur.linkChars.toDouble / cur.totalChars.toDouble
-        if (stripped.length >= MinBlockChars && density <= MaxLinkDensity) {
-          val b = new Block
-          b.sb.append(stripped)
-          b.spans ++= cur.spans
-          kept += b
-        }
+        val density = cur.linkChars.toDouble / cur.totalChars.toDouble
+        if (stripped.length >= MinBlockChars && density <= MaxLinkDensity)
+          kept += KeptBlock(stripped, cur.spans.toSeq)
+        cur.reset()
       }
-      cur = new Block
     }
 
     def walk(n: HtmlNode, inLink: Boolean): Unit = {
@@ -105,7 +102,7 @@ object Extractor {
     walk(dom, inLink = false)
     flush()
 
-    val text = kept.map(_.sb.toString).mkString("\n")
+    val text = kept.map(_.text).mkString("\n")
     val spans = kept.flatMap(_.spans).toSeq
     ExtractResult(text, spans, stats.nNodes, stats.forcedNonpair + stats.droppedEndtags)
   }
