@@ -134,6 +134,21 @@ object SparkEntry {
         .select(col("conv_id"), col("turn_idx"), col("pos"),
           element_at(col("params"), "href").as("href"))
     }),
+    // the SAME arena through the native Catalyst Generator (ParseHtmlNodes
+    // via SparkSessionExtensions) instead of the UDF+explode path — one
+    // fewer full-arena materialization per turn; must hash-match the
+    // q_dom_nodes oracle exactly
+    "q_gen_nodes" -> ((s, dir) => {
+      import graft.spark.catalyst.GraftSparkExtensions
+      GraftSparkExtensions.register(s)
+      Transcripts.derive(s, dir)
+        .select(col("conv_id"), col("turn_idx"),
+          GraftSparkExtensions.parse_nodes(col("text")))
+        .filter(col("kind") =!= 0)
+        .select(col("conv_id"), col("turn_idx"), col("node_id"), col("parent_id"),
+          col("pos"), col("depth"), col("kind").cast("int").as("kind"),
+          col("tagname"), col("nonpair"))
+    }),
     "q_dom_nodes" -> ((s, dir) => {
       Transcripts.derive(s, dir)
         .select(col("conv_id"), col("turn_idx"),
@@ -435,6 +450,12 @@ object SparkEntry {
            | UNION ALL SELECT conv_id, turn_idx, 2, '/ord/' || okey || '/' || lnum FROM t"""
           .stripMargin.replace("\n", ""),
       "q_dom_nodes" ->
+        s"""$cte SELECT t.conv_id, t.turn_idx, v.node_id, v.parent_id, v.pos,
+           | v.depth, v.kind, v.tagname, v.nonpair
+           | FROM t JOIN (VALUES $domValuesSql)
+           | AS v(variant,node_id,parent_id,pos,depth,kind,tagname,nonpair)
+           | ON v.variant = t.turn_idx % 7""".stripMargin.replace("\n", ""),
+      "q_gen_nodes" ->
         s"""$cte SELECT t.conv_id, t.turn_idx, v.node_id, v.parent_id, v.pos,
            | v.depth, v.kind, v.tagname, v.nonpair
            | FROM t JOIN (VALUES $domValuesSql)

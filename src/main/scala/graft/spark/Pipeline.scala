@@ -264,26 +264,48 @@ object Pipeline {
     spark.sparkContext.register(metricsAcc, "graft.partitionMetrics")
 
     val extracted = extractTurns(pending, cfg, metricsAcc)
+    val batchDir = s"$outDir/extracted/batch=$batchId"
     reassembled(extracted)
       .write.mode("overwrite")
-      .parquet(s"$outDir/extracted/batch=$batchId")
+      .parquet(batchDir)
 
-    val rows = spark.read.parquet(s"$outDir/extracted/batch=$batchId").count()
-
-    // lineage: row counts per source file of this batch. Batch-keyed
-    // overwrite => idempotent on rerun of the same pending set (the
-    // `batch` partition column comes from the directory name on read).
+    // lineage: per source file of this batch, row count + input bytes +
+    // oversize count (one pass; same groupBy). Batch-keyed overwrite =>
+    // idempotent on rerun of the same pending set (the `batch` partition
+    // column comes from the directory name on read).
     val lineage = pending.groupBy(col("src_file").as("file"))
-      .agg(count(lit(1)).as("row_count"))
-      .select(lit(cfg.snapshotId).as("snapshot_id"), col("file"), col("row_count"))
+      .agg(count(lit(1)).as("row_count"),
+        coalesce(sum(length(col("text"))), lit(0L)).as("n_bytes"),
+        coalesce(sum(when(length(col("text")) > cfg.maxTextChars, 1L)
+          .otherwise(0L)), lit(0L)).as("n_oversize"))
+      .select(lit(cfg.snapshotId).as("snapshot_id"), col("file"),
+        col("row_count"), col("n_bytes"), col("n_oversize"))
     lineage.write.mode("overwrite").parquet(s"$outDir/lineage/batch=$batchId")
 
-    // metrics from the accumulator (per-partition; task retries may
-    // duplicate entries — metrics are diagnostic, lineage is the ledger)
+    // metrics: DISTRIBUTED aggregates derived from the committed batch
+    // output + the committed lineage — deterministic and retry-safe (a
+    // task retry can't double-count data that is aggregated after the
+    // write), unlike accumulators (VERDICT r1 item 5 / ROADMAP 6).
+    val outAgg = spark.read.parquet(batchDir).agg(
+      count(lit(1)).as("n_turns"),
+      coalesce(sum(col("n_nodes")), lit(0L)).as("n_nodes"),
+      coalesce(sum(col("n_errors")), lit(0L)).as("n_errors"),
+      coalesce(sum(length(col("extracted_text"))), lit(0L)).as("n_chars_out"))
+    val inAgg = spark.read.parquet(s"$outDir/lineage/batch=$batchId").agg(
+      coalesce(sum(col("n_bytes")), lit(0L)).as("n_bytes_in"),
+      coalesce(sum(col("n_oversize")), lit(0L)).as("n_oversize"))
+    val metrics = outAgg.crossJoin(inAgg)
+      .withColumn("snapshot_id", lit(cfg.snapshotId))
+    metrics.write.mode("overwrite").parquet(s"$outDir/metrics/batch=$batchId")
+    val rows = spark.read.parquet(s"$outDir/metrics/batch=$batchId")
+      .head().getAs[Long]("n_turns")
+
+    // per-partition wall-time diagnostics from the accumulator (task
+    // retries may duplicate entries — diagnostic only, never the ledger)
     import scala.jdk.CollectionConverters._
     val m = metricsAcc.value.asScala.toSeq
     if (m.nonEmpty)
-      m.toDF().write.mode("overwrite").parquet(s"$outDir/metrics/batch=$batchId")
+      m.toDF().write.mode("overwrite").parquet(s"$outDir/metrics_diag/batch=$batchId")
 
     // checkpoint LAST: marks the batch committed (written from the
     // distributed pending-file set, no driver materialization)

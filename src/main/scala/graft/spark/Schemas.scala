@@ -24,14 +24,19 @@ final case class NodeRow(node_id: Int, parent_id: Int, pos: Int, depth: Int,
                          params: Map[String, String], nonpair: Boolean,
                          endtag_id: Int, opener_id: Int, src_offset: Int)
 
-/** Per-partition parse metrics row (pipeline metrics table). */
+/** Per-partition parse diagnostics row (pipeline metrics_diag table;
+  * accumulator-sourced wall times — task retries may duplicate entries.
+  * The committed `metrics` table is the retry-safe ledger: one row per
+  * batch, aggregated from the written output + lineage).
+  */
 final case class PartitionMetrics(part_id: Int, n_turns: Long, n_bytes: Long,
                                   n_nodes: Long, n_errors: Long,
                                   n_oversize: Long, wall_ms: Long)
 
-/** Lineage/checkpoint row: which input slice produced which output
-  * (snapshot id is a deterministic constant for the parquet stand-in;
-  * with Iceberg it is the table snapshot).
+/** Lineage row: which input slice produced which output, with input byte
+  * and oversize accounting per file (snapshot id is a deterministic
+  * constant for the parquet stand-in; with Iceberg it is the table
+  * snapshot).
   */
 final case class LineageRec(snapshot_id: String, file: String,
-                            row_count: Long, part_id: Int)
+                            row_count: Long, n_bytes: Long, n_oversize: Long)

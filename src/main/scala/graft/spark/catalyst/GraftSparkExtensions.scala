@@ -1,0 +1,50 @@
+package graft.spark.catalyst
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point for the engine's native Catalyst
+  * expressions. Enable on a fresh session with either
+  *
+  *   SparkSession.builder().withExtensions(new GraftSparkExtensions) ...
+  *   // or, config-only (spark-submit):
+  *   .config("spark.sql.extensions", "graft.spark.catalyst.GraftSparkExtensions")
+  *
+  * For a session that already exists (e.g. one handed to us by a driver),
+  * [[GraftSparkExtensions.register]] installs the same builders into the
+  * session's FunctionRegistry directly.
+  */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftSparkExtensions.parseNodesDescriptor)
+}
+
+object GraftSparkExtensions {
+
+  private def parseNodesBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 1, s"parse_nodes takes 1 argument, got ${args.length}")
+    ParseHtmlNodes(args.head)
+  }
+
+  private[catalyst] val parseNodesDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("parse_nodes"),
+      new ExpressionInfo(classOf[ParseHtmlNodes].getName, "parse_nodes"),
+      parseNodesBuilder)
+
+  /** Install into an already-built session (driver-owned sessions). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "parse_nodes", parseNodesBuilder, "scala_udf")
+
+  /** DataFrame-side surface: `df.select(parse_nodes(col("text")))` plans a
+    * Generate over the native expression (no UDF, no array encode).
+    * Resolves through the session FunctionRegistry (the public
+    * Column-from-Expression path is sql-private in Spark 4), so call
+    * [[register]] — or build the session with [[GraftSparkExtensions]] —
+    * first.
+    */
+  def parse_nodes(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("parse_nodes", c)
+}

@@ -1,0 +1,98 @@
+package graft.spark
+
+import graft.spark.catalyst.{GraftSparkExtensions, ParseHtmlNodes}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The native Catalyst Generator surface (ParseHtmlNodes): must emit the
+  * EXACT row set of the UDF+explode path for any input, plan as a Generate
+  * without a ScalaUDF in the hot path, and be reachable from SQL both via
+  * SparkSessionExtensions injection and registry installation.
+  */
+class GeneratorSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val samples = Seq(
+    "<div id='m'><a href='/x'>go</a> body text</div>",
+    "<html><head><title>t</title><meta charset='utf-8'></head><body><p>x</p></body></html>",
+    "<HT<!-- c -->ML>payload</HTML>", // Q16/Q18 shapes
+    "<section><section>nested</section></section>", // Q17 outer-leaf
+    "<br><hr><img src='/x.png'>", // void list (Q4)
+    "plain text, no tags",
+    "", // empty
+    "<a href=\"q\\\"uo\\\"te\">esc</a>") // Q8/Q10 escapes
+
+  test("generator row set == UDF parse_html row set (all fields, all samples)") {
+    GraftSparkExtensions.register(spark)
+    val df = samples.zipWithIndex.map { case (h, i) => (i, h) }.toDF("id", "text")
+    val gen = df.select(col("id"), GraftSparkExtensions.parse_nodes(col("text")))
+      .select(col("id"), col("node_id"), col("parent_id"), col("pos"), col("depth"),
+        col("kind").cast("int").as("kind"), col("tagname"), col("raw"), col("params"),
+        col("nonpair"), col("endtag_id"), col("opener_id"), col("src_offset"))
+    val viaUdf = df.select(col("id"), explode(HtmlFunctions.parse_html(col("text"))).as("n"))
+      .select(col("id"), col("n.node_id"), col("n.parent_id"), col("n.pos"), col("n.depth"),
+        col("n.kind").cast("int").as("kind"), col("n.tagname"), col("n.raw"), col("n.params"),
+        col("n.nonpair"), col("n.endtag_id"), col("n.opener_id"), col("n.src_offset"))
+    val a = gen.collect().map(_.toString).sorted.toSeq
+    val b = viaUdf.collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+    // a parse always yields at least the container row — even "" and plain text
+    assert(gen.groupBy("id").count().collect().forall(_.getLong(1) >= 1))
+  }
+
+  test("generator plans as Generate with no ScalaUDF and no extra exchange") {
+    GraftSparkExtensions.register(spark)
+    val df = samples.zipWithIndex.map { case (h, i) => (i, h) }.toDF("id", "text")
+    val plan = df.select(col("id"), GraftSparkExtensions.parse_nodes(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Generate parse_nodes"), s"expected native Generate:\n$plan")
+    assert(!plan.contains("ScalaUDF") && !plan.toLowerCase.contains("batchevalpython"))
+    assert(!plan.contains("Exchange"))
+  }
+
+  test("SQL surface: LATERAL VIEW parse_nodes via extensions-built session") {
+    // a genuinely separate session wired through SparkSessionExtensions
+    // (the spark-submit path: spark.sql.extensions=graft.spark.catalyst.GraftSparkExtensions)
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .appName("GeneratorSpecExt")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftSparkExtensions)
+      .getOrCreate()
+    try {
+      import s2.implicits._
+      Seq((1, "<div><a href='/x'>go</a><a href='/y'>back</a></div>"))
+        .toDF("id", "text").createOrReplaceTempView("turns_gen")
+      val hrefs = s2.sql(
+        """SELECT n.node_id, n.params['href'] AS href
+          |FROM turns_gen LATERAL VIEW parse_nodes(text) n
+          |WHERE n.kind = 2 AND n.tagname = 'a'
+          |ORDER BY n.node_id""".stripMargin)
+        .collect().map(_.getString(1)).toSeq
+      assert(hrefs == Seq("/x", "/y"))
+    } finally {
+      // do NOT close(): s2 shares the suite's SparkContext (local master,
+      // getOrCreate) and stopping it would kill every later test's session.
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+    }
+  }
+
+  test("null input and type errors") {
+    GraftSparkExtensions.register(spark)
+    val df = Seq((1, null: String)).toDF("id", "text")
+    assert(df.select(GraftSparkExtensions.parse_nodes(col("text"))).count() == 0)
+    val err = intercept[Exception] {
+      Seq((1, 2)).toDF("id", "num")
+        .select(GraftSparkExtensions.parse_nodes(col("num"))).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("string"))
+  }
+
+  test("expression is reusable directly (case class API)") {
+    // library users embedding the expression in their own rules/plans
+    val e = ParseHtmlNodes(org.apache.spark.sql.catalyst.expressions.Literal("<p>x</p>"))
+    val rows = e.eval(null).iterator.toSeq
+    assert(rows.size == 4) // container + <p> + text + </p>
+  }
+}

@@ -135,14 +135,26 @@ class PipelineSpec extends SparkTestBase {
     val r3 = Pipeline.runResumable(spark, inPath, outDir)
     assert(r3.batchId == r1.batchId) // deterministic batch id
     assert(Pipeline.readExtracted(spark, outDir).count() == total1) // no dupes
-    // lineage rows are idempotent per batch (4 files, one batch)
+    // lineage rows are idempotent per batch (4 files, one batch), and the
+    // per-file input accounting sums to the true totals
     spark.catalog.refreshByPath(s"$outDir/lineage")
-    assert(spark.read.parquet(s"$outDir/lineage").count() == 4)
-    // metrics table accounts for every turn of the batch, exactly once
+    val lin = spark.read.parquet(s"$outDir/lineage")
+    assert(lin.count() == 4)
+    assert(lin.agg(sum("row_count")).head.getLong(0) == quirkTurns.size)
+    assert(lin.agg(sum("n_bytes")).head.getLong(0) ==
+      quirkTurns.map(_.text.length.toLong).sum)
+    // metrics ledger: ONE aggregate row per batch, derived from the
+    // committed output (retry-safe — not an accumulator), accounting for
+    // every turn / node / error exactly once
     spark.catalog.refreshByPath(s"$outDir/metrics")
     val m = spark.read.parquet(s"$outDir/metrics")
-    assert(m.filter(col("batch") === r1.batchId)
-      .agg(sum("n_turns")).head.getLong(0) == quirkTurns.size)
+    assert(m.filter(col("batch") === r1.batchId).count() == 1)
+    val mr = m.filter(col("batch") === r1.batchId).head()
+    assert(mr.getAs[Long]("n_turns") == quirkTurns.size)
+    val oracleAgg = quirkTurns.map(t => Extractor.extract(t.text))
+    assert(mr.getAs[Long]("n_nodes") == oracleAgg.map(_.nNodes.toLong).sum)
+    assert(mr.getAs[Long]("n_errors") == oracleAgg.map(_.nErrors.toLong).sum)
+    assert(mr.getAs[Long]("n_oversize") == 0L)
   }
 
   test("salting defeats conversation skew: one giant conversation spreads over all partitions") {
