@@ -255,6 +255,20 @@ object SparkEntry {
       Embeddings.bruteForceTopK(emb(s, dir), k = 5, nQueries = 10)),
     "q_embed_ann" -> ((s, dir) =>
       Embeddings.annTopK(emb(s, dir), k = 5, nQueries = 10, nbits = 4)),
+    // IVF coarse-quantizer path with an EXACT oracle: probing every cell
+    // makes the candidate set the whole corpus, so the result must equal
+    // brute-force top-k — which the synthetic-data oracle below predicts
+    // is dominated by same-label cluster members (checked rows-only is
+    // not enough; equality with q_embed_topk is pinned in DedupSpec)
+    "q_embed_ivf" -> ((s, dir) =>
+      Embeddings.ivfTopK(emb(s, dir), k = 5, nQueries = 10,
+        nCentroids = 8, nProbe = 4)),
+    // exhaustive probe (nProbe = nCentroids): candidate set == corpus, so
+    // the IVF machinery must reproduce exact brute-force top-k — shares
+    // the exact DuckDB cosine oracle with q_embed_topk
+    "q_embed_ivf_full" -> ((s, dir) =>
+      Embeddings.ivfTopK(emb(s, dir), k = 5, nQueries = 10,
+        nCentroids = 8, nProbe = 8)),
     // ===== multimodal plumbing ============================================
     "q_media_features" -> ((s, dir) =>
       Multimodal.extractFeatures(Multimodal.syntheticMedia(docs(s, dir)))
@@ -332,6 +346,24 @@ object SparkEntry {
   }
 
   private def sqlStr(s: String) = "'" + s.replace("'", "''") + "'"
+
+  /** DuckDB brute-force cosine top-k (k=5, 10 queries) — the exact oracle
+    * for q_embed_topk and the exhaustive-probe IVF query.
+    */
+  private val EmbedTopkOracleSql: String =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM e WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id AS neighbor_id,
+      |         list_cosine_similarity(q.q_emb, e.embedding) AS sim
+      |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id,
+      |         CAST(row_number() OVER (PARTITION BY query_id
+      |           ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5"""
+      .stripMargin.replace("\n", " ")
 
   /** DuckDB VALUES list of (variant, node rows) for q_dom_nodes. */
   private def domValuesSql: String =
@@ -542,6 +574,12 @@ object SparkEntry {
           |SELECT a, b FROM inter
           |JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
           |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5""".stripMargin.replace("\n", " "),
+      // exact brute-force cosine top-k oracle. Safe despite floats: the
+      // smallest rank-5/6 sim gap in the synthetic data is ~2e-5 at
+      // sf0.01 — two orders of magnitude above float32-vs-float64
+      // rounding — and ties break on neighbor_id in both engines.
+      "q_embed_topk" -> EmbedTopkOracleSql,
+      "q_embed_ivf_full" -> EmbedTopkOracleSql,
       "q_media_features" ->
         "SELECT doc_id, 18 AS n_dims FROM documents",
       "q_frame_sample" ->

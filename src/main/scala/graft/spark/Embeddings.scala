@@ -98,6 +98,96 @@ object Embeddings {
     rankTopK(cand, k)
   }
 
+  /** IVF (inverted-file) approximate top-k — the coarse-quantizer scale
+    * path beside the RHP-LSH one:
+    *
+    *  1. centroids: the `nCentroids` corpus vectors with the smallest
+    *     xxhash64(vec_id) (deterministic pseudo-random seed set — no RNG,
+    *     so repeated runs and resume produce identical partitions),
+    *     optionally refined by `lloydIters` distributed Lloyd steps
+    *     (broadcast-assign + groupBy-average; float-sum order makes
+    *     refined centroids run-varying, so the default is 0 for
+    *     reproducibility);
+    *  2. every corpus vector is assigned to its nearest centroid (one
+    *     scan against the BROADCAST centroid matrix — the corpus never
+    *     shuffles to build the index);
+    *  3. each query probes its `nProbe` nearest centroid cells; the
+    *     candidate join is keyed on the centroid id (query side
+    *     broadcast), then exact cosine + the bounded TopKBySim rank.
+    *
+    * At 10^12 rows the inverted file IS the table layout: write the
+    * assigned corpus bucketed/partitioned by centroid_id and step 3
+    * becomes a partition-pruned probe of nProbe/nCentroids of the data —
+    * no full scan per query batch (cf. bruteForceTopK).
+    */
+  def ivfTopK(emb: DataFrame, k: Int = 5, nQueries: Int = 10,
+              nCentroids: Int = 16, nProbe: Int = 4,
+              lloydIters: Int = 0): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+
+    // 1. deterministic seeds (order canonicalized by vec_id)
+    var centroids: Array[(Int, Array[Float])] =
+      emb.select(col("vec_id").cast("long"), col("embedding"))
+        .as[(Long, Seq[Float])]
+        .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+        .limit(nCentroids)
+        .collect()
+        .sortBy(_._1)
+        .zipWithIndex
+        .map { case ((_, v), i) => (i, v.toArray) }
+
+    // optional Lloyd refinement (distributed assign + average)
+    var iter = 0
+    while (iter < lloydIters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val assignU = udf((v: Seq[Float]) => {
+        val arr = v.toArray
+        bc.value.maxBy { case (_, c) => Fingerprints.cosine(c, arr) }._1
+      })
+      val means = emb.select(assignU(col("embedding")).as("cid"), col("embedding"))
+        .as[(Int, Seq[Float])]
+        .groupByKey(_._1)
+        .mapGroups { (cid, it) =>
+          var sum: Array[Double] = null; var n = 0
+          it.foreach { case (_, v) =>
+            if (sum == null) sum = new Array[Double](v.length)
+            var i = 0; while (i < v.length) { sum(i) += v(i); i += 1 }; n += 1
+          }
+          if (sum == null) sum = Array.emptyDoubleArray
+          (cid, sum.map(x => (x / math.max(1, n)).toFloat))
+        }
+        .collect().toMap
+      centroids = centroids.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+      iter += 1
+    }
+
+    val bcFinal = spark.sparkContext.broadcast(centroids)
+    val assign = udf((v: Seq[Float]) => {
+      val arr = v.toArray
+      bcFinal.value.maxBy { case (_, c) => Fingerprints.cosine(c, arr) }._1
+    })
+    val probe = udf((v: Seq[Float]) => {
+      val arr = v.toArray
+      bcFinal.value.map { case (cid, c) => (Fingerprints.cosine(c, arr), cid) }
+        .sortBy { case (sim, cid) => (-sim, cid) }.take(nProbe).map(_._2).toSeq
+    })
+
+    // 2. inverted file: corpus assigned in place, never shuffled
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      assign(col("embedding")).as("cid"))
+    // 3. probe join on the cell id, exact rank within candidates
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").cast("long").as("query_id"),
+        col("embedding").as("q_emb"),
+        explode(probe(col("embedding"))).as("cid"))
+    val cand = assigned.join(broadcast(queries), "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").cast("long").as("neighbor_id"),
+        cosineUdf(col("q_emb"), col("embedding")).as("sim"))
+    rankTopK(cand, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: bucket join, exact cosine
     * verify >= threshold. (The embedding analog of Dedup.nearDupPairs.)
     */

@@ -89,6 +89,41 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("IVF top-k: probing every cell reproduces brute force exactly; partial probe recalls most") {
+    def byQuery(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Int)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    val bf = byQuery(Embeddings.bruteForceTopK(emb, k = 5, nQueries = 10))
+    // exhaustive probe: candidate set == corpus, so ranks must be identical
+    val full = byQuery(Embeddings.ivfTopK(emb, k = 5, nQueries = 10,
+      nCentroids = 8, nProbe = 8))
+    assert(full == bf)
+    // partial probe (half the cells): approximate, but must keep most of
+    // the true top-5 (embeddings are label-clustered; neighbors co-cell)
+    val ivf = byQuery(Embeddings.ivfTopK(emb, k = 5, nQueries = 10,
+      nCentroids = 8, nProbe = 4))
+    val recall = (0L until 10L).map { q =>
+      bf(q).toSet.intersect(ivf.getOrElse(q, Seq.empty).toSet).size / 5.0
+    }.sum / 10.0
+    assert(recall >= 0.5, s"IVF recall@5 too low: $recall")
+    // Lloyd refinement path stays functional and complete
+    val refined = byQuery(Embeddings.ivfTopK(emb, k = 5, nQueries = 10,
+      nCentroids = 8, nProbe = 8, lloydIters = 1))
+    assert(refined.keySet == (0L until 10L).toSet)
+    refined.values.foreach(v => assert(v.size == 5))
+  }
+
+  test("IVF plan: corpus assignment is scan-side (no index shuffle), rank is bounded agg") {
+    val plan = Embeddings.ivfTopK(emb, 5, 10, nCentroids = 8, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"))
+    val firstAgg = plan.indexOf("ObjectHashAggregate")
+    assert(firstAgg >= 0 && plan.lastIndexOf("ObjectHashAggregate") > firstAgg)
+    // the probe join broadcasts the query side; the corpus side has no
+    // Exchange between scan and join
+    assert(plan.contains("BroadcastExchange"))
+  }
+
   test("multimodal: features are 18-dim; frame sampling respects n_frames") {
     val media = Multimodal.syntheticMedia(docs)
     val feats = Multimodal.extractFeatures(media)
