@@ -218,6 +218,15 @@ object SparkEntry {
       val tok = udf((t: String) => graft.text.TextAnalysis.wsTokenCount(t))
       docs(s, dir).select(col("doc_id"), tok(col("text")).as("n_tokens"))
     }),
+    // the same count through the codegen'd WsTokenCount expression
+    // (UTF-8 bytes, no String decode, stays in WholeStageCodegen) —
+    // shares q_token_count's oracle
+    "q_token_count_native" -> ((s, dir) => {
+      import graft.spark.catalyst.GraftSparkExtensions
+      GraftSparkExtensions.register(s)
+      docs(s, dir).select(col("doc_id"),
+        GraftSparkExtensions.ws_token_count(col("text")).as("n_tokens"))
+    }),
     "q_langid" -> ((s, dir) => {
       val lang = udf((t: String) => graft.text.TextAnalysis.detectLanguage(t)._1)
       docs(s, dir).select(col("doc_id"), lang(col("text")).as("lang_detected"))
@@ -556,6 +565,9 @@ object SparkEntry {
           | CAST(max(ts_us) - min(ts_us) AS BIGINT) AS span_us
           |FROM s GROUP BY 1, 2""".stripMargin.replace("\n", " "),
       "q_token_count" ->
+        """SELECT doc_id, CAST(1 + length(text) - length(replace(text, ' ', '')) AS INT)
+          | AS n_tokens FROM documents""".stripMargin.replace("\n", ""),
+      "q_token_count_native" ->
         """SELECT doc_id, CAST(1 + length(text) - length(replace(text, ' ', '')) AS INT)
           | AS n_tokens FROM documents""".stripMargin.replace("\n", ""),
       "q_dedup_exact" ->

@@ -16,8 +16,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * session's FunctionRegistry directly.
   */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftSparkExtensions.parseNodesDescriptor)
+    ext.injectFunction(GraftSparkExtensions.wsTokenCountDescriptor)
+  }
 }
 
 object GraftSparkExtensions {
@@ -33,10 +35,24 @@ object GraftSparkExtensions {
       new ExpressionInfo(classOf[ParseHtmlNodes].getName, "parse_nodes"),
       parseNodesBuilder)
 
+  private def wsTokenCountBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 1, s"ws_token_count takes 1 argument, got ${args.length}")
+    WsTokenCount(args.head)
+  }
+
+  private[catalyst] val wsTokenCountDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("ws_token_count"),
+      new ExpressionInfo(classOf[WsTokenCount].getName, "ws_token_count"),
+      wsTokenCountBuilder)
+
   /** Install into an already-built session (driver-owned sessions). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "parse_nodes", parseNodesBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ws_token_count", wsTokenCountBuilder, "scala_udf")
+  }
 
   /** DataFrame-side surface: `df.select(parse_nodes(col("text")))` plans a
     * Generate over the native expression (no UDF, no array encode).
@@ -47,4 +63,8 @@ object GraftSparkExtensions {
     */
   def parse_nodes(c: Column): Column =
     org.apache.spark.sql.functions.call_function("parse_nodes", c)
+
+  /** Codegen'd whitespace token count (see [[WsTokenCount]]). */
+  def ws_token_count(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("ws_token_count", c)
 }

@@ -23,6 +23,40 @@ object TextAnalysis {
     count
   }
 
+  /** Whitespace token count DIRECTLY over UTF-8 bytes (no String decode
+    * or allocation — the form called from generated code by the
+    * [[graft.spark.catalyst.WsTokenCount]] Catalyst expression). ASCII
+    * bytes take the 1-byte fast path; multi-byte sequences decode just
+    * the code point (Unicode whitespace like U+2028 must count — and
+    * U+00A0 must NOT — exactly as [[wsTokenCount]] does on chars; the
+    * equivalence is property-tested).
+    */
+  def wsTokenCountUtf8(s: org.apache.spark.unsafe.types.UTF8String): Int = {
+    val n = s.numBytes
+    var count = 0
+    var inTok = false
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      var cp: Int = b
+      var len = 1
+      if (b < 0) {
+        len = org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(b)
+        cp = b & (if (len == 2) 0x1F else if (len == 3) 0x0F else 0x07)
+        var k = 1
+        while (k < len && i + k < n) {
+          cp = (cp << 6) | (s.getByte(i + k) & 0x3F)
+          k += 1
+        }
+      }
+      val w = Character.isWhitespace(cp)
+      if (!w && !inTok) { count += 1; inTok = true }
+      else if (w) inTok = false
+      i += len
+    }
+    count
+  }
+
   /** BPE-ish subword-boundary token count: alnum runs split at
     * case/digit transitions, plus each punctuation char. Approximates a
     * byte-pair tokenizer's granularity deterministically (a stand-in for

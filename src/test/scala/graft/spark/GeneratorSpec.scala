@@ -89,6 +89,49 @@ class GeneratorSpec extends SparkTestBase {
     assert(err.getMessage.toLowerCase.contains("string"))
   }
 
+  test("ws_token_count: equals the char-based counter on adversarial unicode (property)") {
+    import org.scalacheck.{Gen => G}
+    import org.scalacheck.rng.Seed
+    // mix ASCII, exotic Unicode whitespace (U+2028, U+1680, U+3000 count;
+    // U+00A0 and U+202F must NOT), astral plane, combining marks
+    val ch: G[Char] = G.frequency(
+      (8, G.alphaNumChar), (4, G.oneOf(' ', '\t', '\n', '\r', '\f')),
+      (2, G.oneOf(' ', ' ', ' ', '　', ' ')),
+      (2, G.oneOf('\u00A0', '\u202F', '\u2007')), // NON-whitespace lookalikes
+      (1, G.oneOf('\uD83D', '\uDE00', '\u0301', '\u4E2D', '\u041F')))
+    val gen = G.listOf(ch).map(_.mkString)
+    val cases = (0 until 500).flatMap(i =>
+      gen(G.Parameters.default.withSize(120), Seed(0xC0FFEE + i))) :+
+      "a b   c" :+ "😀 two　three" :+ ""
+    cases.foreach { s =>
+      val viaUtf8 = graft.text.TextAnalysis.wsTokenCountUtf8(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      val viaChars = graft.text.TextAnalysis.wsTokenCount(s)
+      assert(viaUtf8 == viaChars, s"input: ${s.take(60).map(_.toInt)}")
+    }
+  }
+
+  test("ws_token_count stays inside WholeStageCodegen (no UDF boundary)") {
+    GraftSparkExtensions.register(spark)
+    // parquet-backed: a LocalRelation would be folded at optimization
+    // time and never reach codegen
+    val dir = tmpDir("wstok")
+    Seq((1, "one two three"), (2, "a  b")).toDF("id", "text")
+      .write.parquet(s"$dir/t")
+    val df = spark.read.parquet(s"$dir/t")
+    val q = df.select(GraftSparkExtensions.ws_token_count(col("text")).as("n"))
+    assert(q.orderBy(col("n")).collect().map(_.getInt(0)).toSeq == Seq(2, 3))
+    val plan = q.queryExecution.executedPlan.toString
+    // "*(n)" marks operators fused into WholeStageCodegen stage n
+    assert(plan.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("ws_token_count")), s"not codegen'd:\n$plan")
+    assert(!plan.contains("ScalaUDF"))
+    // the null path returns null, not 0
+    val n = Seq((1, null: String)).toDF("id", "text")
+      .select(GraftSparkExtensions.ws_token_count(col("text"))).head
+    assert(n.isNullAt(0))
+  }
+
   test("expression is reusable directly (case class API)") {
     // library users embedding the expression in their own rules/plans
     val e = ParseHtmlNodes(org.apache.spark.sql.catalyst.expressions.Literal("<p>x</p>"))
