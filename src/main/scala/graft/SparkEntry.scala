@@ -178,6 +178,22 @@ object SparkEntry {
           H.remove_tags(col("text"),
             array(lit("nav"), lit("footer"))).as("stripped"))
     }),
+    // Q23: the nonpair setter — clearing it drops footer's children and
+    // orphans its endtag, so the reconstruction keeps a bare <footer>
+    "q_reset_nonpair" -> ((s, dir) => {
+      Transcripts.derive(s, dir)
+        .select(col("conv_id"), col("turn_idx"),
+          H.reset_nonpair(col("text"), lit("footer")).as("html"))
+    }),
+    // Q24: replaceWith a constructor-built <h2 class="t"> on every h1 —
+    // the heading subtree and its endtag vanish, the normalized
+    // replacement render appears
+    "q_replace_tag" -> ((s, dir) => {
+      Transcripts.derive(s, dir)
+        .select(col("conv_id"), col("turn_idx"),
+          H.replace_tag(col("text"), lit("h1"), lit("h2"),
+            lit("class"), lit("t")).as("html"))
+    }),
     // ===== window / agg over transcripts ==================================
     "q_turn_rn" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -532,6 +548,28 @@ object SparkEntry {
            | '  </body>' || chr(10) ||
            | '</html>' || chr(10) AS pretty FROM t"""
           .stripMargin.replace("\n", ""),
+      "q_reset_nonpair" ->
+        s"""$cte SELECT conv_id, turn_idx,
+           | '<html><head><title>conv</title><meta charset="utf-8"></head><body>'
+           | || '<nav><a href="/home">Home</a> <a href="/about">About</a></nav>'
+           | || '<div class="main" id="main"><h1>Conversation record</h1>'
+           | || '<p>' || dtext || '</p>'
+           | || '<p>order ' || okey || ' line ' || lnum || ' flag ' || rf || ' status ' || ls || '</p>'
+           | || '<a href="/ord/' || okey || '/' || lnum || '">details</a></div>'
+           | || '<footer>'
+           | || (${Transcripts.OracleKeptVariantExpr})
+           | || '</body></html>' AS html FROM t""".stripMargin.replace("\n", ""),
+      "q_replace_tag" ->
+        s"""$cte SELECT conv_id, turn_idx,
+           | '<html><head><title>conv</title><meta charset="utf-8"></head><body>'
+           | || '<nav><a href="/home">Home</a> <a href="/about">About</a></nav>'
+           | || '<div class="main" id="main"><h2 class="t">'
+           | || '<p>' || dtext || '</p>'
+           | || '<p>order ' || okey || ' line ' || lnum || ' flag ' || rf || ' status ' || ls || '</p>'
+           | || '<a href="/ord/' || okey || '/' || lnum || '">details</a></div>'
+           | || '<footer><p>footer boilerplate text</p></footer>'
+           | || (${Transcripts.OracleKeptVariantExpr})
+           | || '</body></html>' AS html FROM t""".stripMargin.replace("\n", ""),
       "q_remove_boilerplate" ->
         s"""$cte SELECT conv_id, turn_idx,
            | '<html><head><title>conv</title><meta charset="utf-8"></head><body>'

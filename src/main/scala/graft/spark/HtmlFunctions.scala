@@ -161,6 +161,32 @@ object HtmlFunctions {
     dom.toHtml
   }
 
+  /** Q23 workflow: toggle isNonPairTag on every match of `tag` — setting
+    * FALSE clears the node's endtag link and children (dhtmlparser.d:
+    * 655-661), so on reconstruction the element renders as a bare opening
+    * tag and its now-orphaned endtag sibling disappears (endtag nodes
+    * serialize only through their opener's link).
+    */
+  def resetNonPair(html: String, tag: String): String = {
+    if (html == null) return null
+    val dom = HtmlParser.parseString(html)
+    dom.find(tag).foreach { n => n.setNonPairTag(true); n.setNonPairTag(false) }
+    dom.toHtml
+  }
+
+  /** Q24 workflow: replaceWith a constructor-built element on every match
+    * of `tag` (dhtmlparser.d:668-681): the node takes the replacement's
+    * normalized element string, (empty) children and null endtag, so the
+    * old subtree and endtag vanish from the reconstruction.
+    */
+  def replaceTag(html: String, tag: String, newTag: String,
+                 key: String, value: String): String = {
+    if (html == null) return null
+    val dom = HtmlParser.parseString(html)
+    dom.find(tag).foreach(_.replaceWith(HtmlNode.create(newTag, Map(key -> value))))
+    dom.toHtml
+  }
+
   def extractTurn(conv: String, idx: Int, html: String): ExtractedTurn = {
     val r = Extractor.extract(if (html == null) "" else html)
     ExtractedTurn(conv, idx, r.text,
@@ -176,6 +202,8 @@ object HtmlFunctions {
   val dom_tag_nodes = udf(domTagNodes _)
   val bfs_tag_order = udf(bfsTagOrder _)
   val remove_tags = udf(removeTags _)
+  val reset_nonpair = udf(resetNonPair _)
+  val replace_tag = udf(replaceTag _)
   val find_links = udf(findLinks _)
   val get_content = udf(getContentOf _)
   val get_contents = udf(getContentsOf _)
@@ -203,6 +231,8 @@ object HtmlFunctions {
     spark.udf.register("to_html", to_html)
     spark.udf.register("prettify_html", prettify_html)
     spark.udf.register("node_count", node_count)
+    spark.udf.register("reset_nonpair", reset_nonpair)
+    spark.udf.register("replace_tag", replace_tag)
     spark.udf.register("extract_main", extract_main)
   }
 }
