@@ -118,13 +118,17 @@ object SparkEntry {
     }),
     // find("a") expressed RELATIONALLY over the exploded node arena
     // (SURVEY.md §2.2: node-table filter; node_id order = DFS pre-order) —
-    // must equal q_find_links' UDF-side result
+    // must equal q_find_links' UDF-side result. The arena comes from the
+    // native ParseHtmlNodes Generator (one fewer full-arena encode per
+    // turn than explode(parse_html); the UDF explode path stays covered
+    // by q_dom_nodes).
     "q_relational_find" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      import graft.spark.catalyst.GraftSparkExtensions
+      GraftSparkExtensions.register(s)
       val nodes = Transcripts.derive(s, dir)
         .select(col("conv_id"), col("turn_idx"),
-          explode(H.parse_html(col("text"))).as("n"))
-        .select(col("conv_id"), col("turn_idx"), col("n.*"))
+          GraftSparkExtensions.parse_nodes(col("text")))
       val w = Window.partitionBy(col("conv_id"), col("turn_idx"))
         .orderBy(col("node_id"))
       nodes
