@@ -189,8 +189,8 @@ object HtmlFunctions {
 
   def extractTurn(conv: String, idx: Int, html: String): ExtractedTurn = {
     val r = Extractor.extract(if (html == null) "" else html)
-    ExtractedTurn(conv, idx, r.text,
-      r.spans.map(s => SpanRec(s.start, s.end, s.kind)), r.nNodes, r.nErrors)
+    val (pos, kinds) = SpanCodec.pack(r.spans)
+    ExtractedTurn(conv, idx, r.text, pos, kinds, r.nNodes, r.nErrors)
   }
 
   // ===== Column functions ==================================================

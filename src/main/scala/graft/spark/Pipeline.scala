@@ -91,11 +91,11 @@ object Pipeline {
           val rec =
             if (t.length > maxChars) {
               nOversize += 1
-              ExtractedTurn(conv, idx, "", Seq.empty, 0, 1)
+              ExtractedTurn(conv, idx, "", Array.emptyLongArray, Array.emptyByteArray, 0, 1)
             } else {
               val r = Extractor.extract(t, repairFixed)
-              ExtractedTurn(conv, idx, r.text,
-                r.spans.map(s => SpanRec(s.start, s.end, s.kind)), r.nNodes, r.nErrors)
+              val (pos, kinds) = SpanCodec.pack(r.spans)
+              ExtractedTurn(conv, idx, r.text, pos, kinds, r.nNodes, r.nErrors)
             }
           nNodes += rec.n_nodes; nErrors += rec.n_errors
           rec
@@ -188,11 +188,12 @@ object Pipeline {
       .mapPartitions { it =>
         it.map { case (conv, idx, text) =>
           val t = if (text == null) "" else text
-          if (t.length > maxChars) ExtractedTurn(conv, idx, "", Seq.empty, 0, 1)
+          if (t.length > maxChars)
+            ExtractedTurn(conv, idx, "", Array.emptyLongArray, Array.emptyByteArray, 0, 1)
           else {
             val r = Extractor.extract(t, repairFixed)
-            ExtractedTurn(conv, idx, r.text,
-              r.spans.map(s => SpanRec(s.start, s.end, s.kind)), r.nNodes, r.nErrors)
+            val (pos, kinds) = SpanCodec.pack(r.spans)
+            ExtractedTurn(conv, idx, r.text, pos, kinds, r.nNodes, r.nErrors)
           }
         }
       }

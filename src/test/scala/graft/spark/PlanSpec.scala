@@ -85,6 +85,39 @@ class PlanSpec extends SparkTestBase {
     assert(!readSchema.contains("props") && !readSchema.contains("event_type"))
   }
 
+  test("bucketed transcripts: conversation reassembly aggregates with NO exchange") {
+    // the 100 TB layout: the transcripts table bucketed on conv_id (what
+    // an Iceberg bucket-partitioned table gives us) lets every
+    // conv_id-keyed aggregation run shuffle-free — the text bytes never
+    // cross the wire. This pins that the plan actually exploits it.
+    val wh = tmpDir("bucketed-wh") // external table path (warehouse.dir is static)
+    val rows = (0 until 200).map(i => Turn(s"c${i % 20}", i / 20, "user",
+      s"<p>bucketed row $i body</p>", "", new java.sql.Timestamp(0)))
+    spark.createDataset(rows).toDF()
+      .write.mode("overwrite")
+      .bucketBy(4, "conv_id").sortBy("conv_id", "turn_idx")
+      .option("path", s"$wh/turns_bucketed")
+      .saveAsTable("turns_bucketed")
+    try {
+      val t = spark.table("turns_bucketed")
+      val agg = t.groupBy(col("conv_id"))
+        .agg(count(lit(1)).as("n_turns"),
+          sum(length(col("text"))).as("n_chars"))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed groupBy(conv_id) must not shuffle:\n$plan")
+      assert(agg.count() == 20)
+      // contrast: the same aggregate over the unbucketed parquet shuffles
+      val flat = tmpDir("bucketed-flat")
+      spark.createDataset(rows).toDF().write.parquet(s"$flat/t")
+      val plan2 = spark.read.parquet(s"$flat/t").groupBy(col("conv_id"))
+        .agg(count(lit(1))).queryExecution.executedPlan.toString
+      assert(plan2.contains("Exchange"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS turns_bucketed")
+    }
+  }
+
   test("extraction UDF plan stays a single projection over the scan (no extra shuffle)") {
     val df = spark.read.parquet(turnsParquet)
     val q = df.select(col("conv_id"), col("turn_idx"),
