@@ -54,7 +54,8 @@ object Bench {
 
   /** The headline subset (scan+parse heavy / shuffle heavy / join heavy). */
   val headline: Seq[String] = Seq(
-    "q_pipeline_extract", "q_pipeline_onepass", "q_roundtrip", "q_find_links", "q_extract_main",
+    "q_pipeline_extract", "q_pipeline_onepass", "q_pipeline_extractfirst",
+    "q_roundtrip", "q_find_links", "q_extract_main",
     "q_conversations", "q_get_content", "q_dedup_exact", "q_ngram_jaccard",
     "q_neardup_pairs", "q_embed_topk", "q_embed_ivf", "q_gen_nodes",
     "q_media_features", "q_token_count")

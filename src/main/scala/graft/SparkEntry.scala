@@ -116,6 +116,14 @@ object SparkEntry {
         .select(col("conv_id"), col("turn_idx"), col("extracted_text"),
           col("n_nodes"), col("n_errors"))
     }),
+    // extract-first: extraction on the byte-balanced scan partitions, one
+    // exchange of EXTRACTED text only — the cheapest correct shape; same
+    // oracle again
+    "q_pipeline_extractfirst" -> ((s, dir) => {
+      Pipeline.extractReassembledExtractFirst(Transcripts.derive(s, dir)).toDF()
+        .select(col("conv_id"), col("turn_idx"), col("extracted_text"),
+          col("n_nodes"), col("n_errors"))
+    }),
     // find("a") expressed RELATIONALLY over the exploded node arena
     // (SURVEY.md §2.2: node-table filter; node_id order = DFS pre-order) —
     // must equal q_find_links' UDF-side result. The arena comes from the
@@ -487,6 +495,10 @@ object SparkEntry {
            | 38 + $NodeDeltaCase AS n_nodes, $ErrDeltaCase AS n_errors FROM t"""
           .stripMargin.replace("\n", ""),
       "q_pipeline_onepass" ->
+        s"""$cte SELECT conv_id, turn_idx, $extractExpr AS extracted_text,
+           | 38 + $NodeDeltaCase AS n_nodes, $ErrDeltaCase AS n_errors FROM t"""
+          .stripMargin.replace("\n", ""),
+      "q_pipeline_extractfirst" ->
         s"""$cte SELECT conv_id, turn_idx, $extractExpr AS extracted_text,
            | 38 + $NodeDeltaCase AS n_nodes, $ErrDeltaCase AS n_errors FROM t"""
           .stripMargin.replace("\n", ""),

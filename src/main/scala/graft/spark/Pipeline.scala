@@ -201,6 +201,43 @@ object Pipeline {
       .as[ExtractedTurn]
   }
 
+  /** EXTRACT-FIRST pipeline: extraction runs directly on the scan
+    * partitions (the file source byte-balances splits via
+    * maxPartitionBytes, and per-turn parse cost is bounded by the
+    * oversize guard — so extraction needs no salt shuffle at all), then
+    * ONE exchange on conv_id moves only the EXTRACTED text + packed
+    * spans. Since extraction strips tags and boilerplate, the shuffled
+    * bytes are a fraction of the raw text that [[extractTurns]] (salt
+    * shuffle of raw) or [[extractReassembledOnePass]] (range shuffle of
+    * raw) move — at 100 TB input this is the cheapest correct shape.
+    * Reducer-side conversation skew is the one remaining concentration;
+    * cap it with [[conversationsCapped]] when conversations are
+    * unbounded.
+    */
+  def extractReassembledExtractFirst(turns: DataFrame,
+                                     cfg: Config = Config()): Dataset[ExtractedTurn] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    val maxChars = cfg.maxTextChars
+    val repairFixed = cfg.repairTagsFixed
+    val extracted = turns
+      .select(col("conv_id"), col("turn_idx"), col("text"))
+      .as[(String, Int, String)]
+      .mapPartitions { it =>
+        it.map { case (conv, idx, text) =>
+          val t = if (text == null) "" else text
+          if (t.length > maxChars)
+            ExtractedTurn(conv, idx, "", Array.emptyLongArray, Array.emptyByteArray, 0, 1)
+          else {
+            val r = Extractor.extract(t, repairFixed)
+            val (pos, kinds) = SpanCodec.pack(r.spans)
+            ExtractedTurn(conv, idx, r.text, pos, kinds, r.nNodes, r.nErrors)
+          }
+        }
+      }
+    reassembled(extracted)
+  }
+
   /** Per-turn output in stable (conv_id, turn_idx) order — the shape the
     * per-turn oracle compares (north_rule: "per-turn text equality under
     * stable turn ordering").

@@ -67,6 +67,25 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("extract-first pipeline == salted pipeline (rows, spans, partition order)") {
+    val df = spark.createDataset(quirkTurns).toDF()
+    val classic = Pipeline.reassembled(Pipeline.extractTurns(df)).collect()
+      .map(e => (e.conv_id, e.turn_idx) -> e).toMap
+    val ef = Pipeline.extractReassembledExtractFirst(df)
+    val parts = ef.mapPartitions { it =>
+      val keys = it.map(e => (e.conv_id, e.turn_idx)).toVector
+      Iterator.single(keys == keys.sorted)
+    }.collect()
+    assert(parts.forall(identity)) // reassembled contract holds
+    val got = ef.collect().map(e => (e.conv_id, e.turn_idx) -> e).toMap
+    assert(got.keySet == classic.keySet)
+    got.foreach { case (k, e) =>
+      val c = classic(k)
+      assert(e.extracted_text == c.extracted_text && e.n_nodes == c.n_nodes &&
+        e.n_errors == c.n_errors && e.spans == c.spans, s"turn $k")
+    }
+  }
+
   test("capped conversations: equals uncapped under the cap; truncation observable above it") {
     val df = spark.createDataset(quirkTurns).toDF()
     val ex = Pipeline.extractTurns(df)

@@ -75,6 +75,24 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("rangepartitioning"), s"expected range partitioning:\n$plan")
   }
 
+  test("extract-first pipeline: one exchange, and it carries extracted columns, not raw text") {
+    val df = spark.read.parquet(turnsParquet)
+    val plan = Pipeline.extractReassembledExtractFirst(df)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"extract-first must shuffle once, got $exchanges:\n$plan")
+    // the exchange hashes on conv_id of the EXTRACTED rows — the raw
+    // `text` column must be gone by the time rows hit the exchange
+    // (extraction happens upstream, on scan partitions)
+    val exchangeLine = plan.linesIterator.find(_.contains("Exchange")).getOrElse("")
+    assert(exchangeLine.contains("hashpartitioning"), s"expected hash exchange:\n$plan")
+    // tree prints root-first, so upstream operators appear LATER in the
+    // string: the extraction's SerializeFromObject must print below the
+    // exchange (i.e. feed it), proving extraction runs on scan partitions
+    assert(plan.indexOf("Exchange") < plan.indexOf("SerializeFromObject"),
+      s"extraction (object serialize) must be upstream of the exchange:\n$plan")
+  }
+
   test("sessionize: exactly one exchange; both windows share the user_id sort") {
     val events = spark.read.parquet(s"$sf/events.parquet")
     val plan = Events.sessionize(events).queryExecution.executedPlan.toString
