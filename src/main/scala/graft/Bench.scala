@@ -141,10 +141,13 @@ object Bench {
       .map(_._2.map(_.sec).min).getOrElse(Double.NaN)
     val onePassSec = results.find(_._1 == "q_pipeline_onepass")
       .map(_._2.map(_.sec).min).getOrElse(Double.NaN)
+    val exFirstSec = results.find(_._1 == "q_pipeline_extractfirst")
+      .map(_._2.map(_.sec).min).getOrElse(Double.NaN)
     val tps = if (pipeSec > 0) nTurns / pipeSec else 0.0
     val tps1 = if (onePassSec > 0) nTurns / onePassSec else 0.0
+    val tpsEf = if (exFirstSec > 0) nTurns / exFirstSec else 0.0
     val heapG = Runtime.getRuntime.maxMemory() / (1 << 30)
-    println(s"""{"metric":"total","value":${jnum(totalMin)},"unit":"sec","queries":$qMin,"queries_median":$qMed,"total_median":${jnum(totalMed)},"reps":$reps,"queries_all_sec":$qAll,"calib_ms":$cAll,"steal_pct":$sAll,"gc_pct":$gAll,"input":"materialized-parquet","sf":"$sfDir","turns":$nTurns,"turns_per_sec":${f"$tps%.1f"},"turns_per_sec_onepass":${f"$tps1%.1f"},"cpus":$cpus,"heap_gib":$heapG}""")
+    println(s"""{"metric":"total","value":${jnum(totalMin)},"unit":"sec","queries":$qMin,"queries_median":$qMed,"total_median":${jnum(totalMed)},"reps":$reps,"queries_all_sec":$qAll,"calib_ms":$cAll,"steal_pct":$sAll,"gc_pct":$gAll,"input":"materialized-parquet","sf":"$sfDir","turns":$nTurns,"turns_per_sec":${f"$tps%.1f"},"turns_per_sec_onepass":${f"$tps1%.1f"},"turns_per_sec_extractfirst":${f"$tpsEf%.1f"},"cpus":$cpus,"heap_gib":$heapG}""")
     spark.stop()
     // free the /dev/shm staging copy (RAM-backed — must not accumulate)
     import scala.jdk.CollectionConverters._

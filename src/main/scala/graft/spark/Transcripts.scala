@@ -22,7 +22,7 @@ object Transcripts {
     *  - extract_main output = "Conversation record\n" + doc + "\n" + facts
     *    for every variant (variant blocks contribute no kept text);
     *  - 3 hrefs per turn in document order;
-    *  - 38-node base DOM + a turn_idx%5-selected quirk block.
+    *  - 38-node base DOM + a turn_idx%9-selected quirk block.
     *
     * The quirk block (between `</footer>` and `</body>`) broadens the
     * DuckDB oracle beyond one fixed DOM shape (VERDICT r1 item 1):
@@ -39,7 +39,15 @@ object Transcripts {
     *    separator, inner whitespace preserved, dhtmlparser.d:545-548);
     *  - v6 spaced stray endtag `< /q3>`: Q3 (whitespace between `<` and
     *    `/` still classifies as endtag) + Q18 (stray endtags are DROPPED
-    *    by parseDOM) — the one variant where toHtml != input.
+    *    by parseDOM) — the one variant where toHtml != input;
+    *  - v7 multi-attribute `<em id=.. class=..>`: Q27 — tagToString (and
+    *    thus prettify) re-renders params in SORTED key order
+    *    (dhtmlparser.d:533-545 sorted keys), while toHtml keeps the raw
+    *    source order (Q13 raw-element reconstruction);
+    *  - v8 nested `<ul><li>..</li><li>..</li></ul>`: two-level block
+    *    nesting in the quirk slot — prettify indents the li children one
+    *    level deeper (Q15 block mode) and the BFS level-order surfaces
+    *    the li pairs a full level after the ul.
     */
   def textSqlExpr: String =
     """concat(
@@ -50,13 +58,15 @@ object Transcripts {
       |'<p>order ', okey, ' line ', lnum, ' flag ', rf, ' status ', ls, '</p>',
       |'<a href="/ord/', okey, '/', lnum, '">details</a></div>',
       |'<footer><p>footer boilerplate text</p></footer>',
-      |CASE CAST(turn_idx % 7 AS INT)
+      |CASE CAST(turn_idx % 9 AS INT)
       |  WHEN 1 THEN '<!-- note 11 -->'
       |  WHEN 2 THEN '<br><hr><img src="/x.png">'
       |  WHEN 3 THEN '<section><section>nested</section>'
       |  WHEN 4 THEN concat('<span title=', chr(39), 'say "hi" now', chr(39), '>q</span>')
       |  WHEN 5 THEN '<pre> a  b </pre>'
       |  WHEN 6 THEN '< /q3>'
+      |  WHEN 7 THEN '<em id="z2" class="a1">x</em>'
+      |  WHEN 8 THEN '<ul><li>one</li><li>two</li></ul>'
       |  ELSE ''
       |END,
       |'</body></html>')"""
@@ -134,13 +144,15 @@ object Transcripts {
 
   /** The turn's quirk-block as a DuckDB SQL expression (oracle side). */
   val OracleVariantExpr: String =
-    """CASE turn_idx % 7
+    """CASE turn_idx % 9
       | WHEN 1 THEN '<!-- note 11 -->'
       | WHEN 2 THEN '<br><hr><img src="/x.png">'
       | WHEN 3 THEN '<section><section>nested</section>'
       | WHEN 4 THEN '<span title=' || chr(39) || 'say "hi" now' || chr(39) || '>q</span>'
       | WHEN 5 THEN '<pre> a  b </pre>'
       | WHEN 6 THEN '< /q3>'
+      | WHEN 7 THEN '<em id="z2" class="a1">x</em>'
+      | WHEN 8 THEN '<ul><li>one</li><li>two</li></ul>'
       | ELSE '' END""".stripMargin.replace("\n", "")
 
   /** The quirk-block as it SURVIVES parse+toHtml: identical to

@@ -20,6 +20,8 @@ object VariantDump {
       case 4 => "<span title='say \"hi\" now'>q</span>"
       case 5 => "<pre> a  b </pre>"
       case 6 => "< /q3>"
+      case 7 => "<em id=\"z2\" class=\"a1\">x</em>"
+      case 8 => "<ul><li>one</li><li>two</li></ul>"
       case _ => ""
     }
     "<html><head><title>conv</title><meta charset=\"utf-8\"></head><body>" +
@@ -34,7 +36,7 @@ object VariantDump {
   }
 
   def main(args: Array[String]): Unit = {
-    (0 to 6).foreach { v =>
+    (0 to 8).foreach { v =>
       val html = template(v)
       println(s"===== variant $v =====")
       println(s"-- input:\n$html")
