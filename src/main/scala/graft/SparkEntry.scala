@@ -255,6 +255,15 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"),
         GraftSparkExtensions.ws_token_count(col("text")).as("n_tokens"))
     }),
+    // BPE-ish subword token count through the codegen'd native
+    // expression (no ANSI-SQL analog — case-flip/run-length chunking;
+    // semantics pinned by TextSpec equivalence properties)
+    "q_bpeish_count" -> ((s, dir) => {
+      import graft.spark.catalyst.GraftSparkExtensions
+      GraftSparkExtensions.register(s)
+      docs(s, dir).select(col("doc_id"),
+        GraftSparkExtensions.bpeish_token_count(col("text")).as("n_subwords"))
+    }),
     "q_langid" -> ((s, dir) => {
       val lang = udf((t: String) => graft.text.TextAnalysis.detectLanguage(t)._1)
       docs(s, dir).select(col("doc_id"), lang(col("text")).as("lang_detected"))

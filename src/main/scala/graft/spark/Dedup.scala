@@ -27,8 +27,6 @@ object Dedup {
     Fingerprints.minHash(Fingerprints.wordShingles(if (text == null) "" else text)).toSeq)
   private val bandsUdf = udf((sig: Seq[Long]) =>
     Fingerprints.lshBands(sig.toArray).toSeq)
-  private val simhashUdf = udf((text: String) =>
-    Fingerprints.simHash(if (text == null) "" else text))
   private val jaccardUdf = udf((a: String, b: String) =>
     Fingerprints.jaccard(Fingerprints.wordShingles(a), Fingerprints.wordShingles(b)))
   private val minhashSimUdf = udf((a: Seq[Long], b: Seq[Long]) =>
@@ -172,10 +170,18 @@ object Dedup {
       .select(col("a"), col("b"))
   }
 
-  /** SimHash per doc + 16-bit prefix bucket (near-dup blocking key). */
-  def simhashTable(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), simhashUdf(col("text")).as("simhash"))
+  /** SimHash per doc + 16-bit prefix bucket (near-dup blocking key).
+    * Uses the native codegen'd [[graft.spark.catalyst.SimHash64]]
+    * expression (bit-identical to Fingerprints.simHash; nulls hash as
+    * the empty string, matching the old UDF's guard).
+    */
+  def simhashTable(docs: DataFrame): DataFrame = {
+    graft.spark.catalyst.GraftSparkExtensions.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+        graft.spark.catalyst.GraftSparkExtensions
+          .simhash64(coalesce(col("text"), lit(""))).as("simhash"))
       .withColumn("bucket", shiftrightunsigned(col("simhash"), 48))
+  }
 
   /** Winnowing fingerprints (doc_id, fingerprint) exploded — substring-
     * level dedup/contamination lookup table.

@@ -19,6 +19,8 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftSparkExtensions.parseNodesDescriptor)
     ext.injectFunction(GraftSparkExtensions.wsTokenCountDescriptor)
+    ext.injectFunction(GraftSparkExtensions.bpeishTokenCountDescriptor)
+    ext.injectFunction(GraftSparkExtensions.simHash64Descriptor)
   }
 }
 
@@ -46,12 +48,38 @@ object GraftSparkExtensions {
       new ExpressionInfo(classOf[WsTokenCount].getName, "ws_token_count"),
       wsTokenCountBuilder)
 
+  private def bpeishTokenCountBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 1, s"bpeish_token_count takes 1 argument, got ${args.length}")
+    BpeishTokenCount(args.head)
+  }
+
+  private[catalyst] val bpeishTokenCountDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("bpeish_token_count"),
+      new ExpressionInfo(classOf[BpeishTokenCount].getName, "bpeish_token_count"),
+      bpeishTokenCountBuilder)
+
+  private def simHash64Builder(args: Seq[Expression]): Expression = {
+    require(args.length == 1, s"simhash64 takes 1 argument, got ${args.length}")
+    SimHash64(args.head)
+  }
+
+  private[catalyst] val simHash64Descriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      simHash64Builder)
+
   /** Install into an already-built session (driver-owned sessions). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "parse_nodes", parseNodesBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ws_token_count", wsTokenCountBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bpeish_token_count", bpeishTokenCountBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", simHash64Builder, "scala_udf")
   }
 
   /** DataFrame-side surface: `df.select(parse_nodes(col("text")))` plans a
@@ -67,4 +95,12 @@ object GraftSparkExtensions {
   /** Codegen'd whitespace token count (see [[WsTokenCount]]). */
   def ws_token_count(c: Column): Column =
     org.apache.spark.sql.functions.call_function("ws_token_count", c)
+
+  /** Codegen'd BPE-ish subword token count (see [[BpeishTokenCount]]). */
+  def bpeish_token_count(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("bpeish_token_count", c)
+
+  /** Codegen'd 64-bit SimHash (see [[SimHash64]]). */
+  def simhash64(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("simhash64", c)
 }

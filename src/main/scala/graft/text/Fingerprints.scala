@@ -169,6 +169,69 @@ object Fingerprints {
     out
   }
 
+  /** [[simHash]] DIRECTLY over UTF-8 bytes — the form called from
+    * generated code by the [[graft.spark.catalyst.SimHash64]] Catalyst
+    * expression. Bit-identical to the String form: word boundaries are
+    * Java-regex `\s` (ASCII whitespace ONLY — U+00A0/U+2028 are word
+    * chars, exactly as `split("\\s+")` treats them), and each word's
+    * FNV-1a folds UTF-16 code units (supplementary code points fold as a
+    * surrogate pair), matching fnv64-over-chars.
+    */
+  def simHashUtf8(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val counts = new Array[Int](64)
+    val n = s.numBytes
+    var i = 0
+    var h = 0xCBF29CE484222325L
+    var inWord = false
+    def flush(): Unit = {
+      if (inWord) {
+        var bit = 0
+        while (bit < 64) {
+          if (((h >>> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1
+          bit += 1
+        }
+        h = 0xCBF29CE484222325L
+        inWord = false
+      }
+    }
+    while (i < n) {
+      val b = s.getByte(i)
+      var cp: Int = b
+      var len = 1
+      if (b < 0) {
+        len = org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(b)
+        cp = b & (if (len == 2) 0x1F else if (len == 3) 0x0F else 0x07)
+        var k = 1
+        while (k < len && i + k < n) {
+          cp = (cp << 6) | (s.getByte(i + k) & 0x3F)
+          k += 1
+        }
+      }
+      // Java regex \s: [ \t\n\x0B\f\r]
+      val ws = cp == 0x20 || (cp >= 0x09 && cp <= 0x0D)
+      if (ws) flush()
+      else {
+        inWord = true
+        if (cp > 0xFFFF) {
+          val off = cp - 0x10000
+          h ^= (0xD800 + (off >> 10)).toLong;  h *= 0x100000001B3L
+          h ^= (0xDC00 + (off & 0x3FF)).toLong; h *= 0x100000001B3L
+        } else {
+          h ^= cp.toLong; h *= 0x100000001B3L
+        }
+      }
+      i += len
+    }
+    flush()
+    var out = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (counts(bit) > 0) out |= (1L << bit)
+      bit += 1
+    }
+    out
+  }
+
   def hammingDistance(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
   /** Winnowing document fingerprints: k-gram rolling hashes, min per

@@ -94,6 +94,70 @@ object TextAnalysis {
     count
   }
 
+  /** [[bpeishTokenCount]] DIRECTLY over UTF-8 bytes (no String decode —
+    * the form called from generated code by the
+    * [[graft.spark.catalyst.BpeishTokenCount]] Catalyst expression).
+    * Char-level parity with the String form is deliberate: supplementary-
+    * plane code points count as TWO symbol chars (the String version sees
+    * two surrogates, neither a letter), so the equivalence property holds
+    * on arbitrary Unicode.
+    */
+  def bpeishTokenCountUtf8(s: org.apache.spark.unsafe.types.UTF8String): Int = {
+    val n = s.numBytes
+    var count = 0
+    var i = 0
+    var cp = 0
+    var cpLen = 1
+    def decode(at: Int): Unit = {
+      val b = s.getByte(at)
+      cp = b; cpLen = 1
+      if (b < 0) {
+        cpLen = org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(b)
+        cp = b & (if (cpLen == 2) 0x1F else if (cpLen == 3) 0x0F else 0x07)
+        var k = 1
+        while (k < cpLen && at + k < n) {
+          cp = (cp << 6) | (s.getByte(at + k) & 0x3F)
+          k += 1
+        }
+      }
+    }
+    while (i < n) {
+      decode(i)
+      if (cp > 0xFFFF) { count += 2; i += cpLen } // two surrogate symbol chars
+      else if (Character.isWhitespace(cp)) i += cpLen
+      else if (Character.isLetter(cp)) {
+        var pieces = 1
+        var run = 1
+        var prevUp = Character.isUpperCase(cp)
+        i += cpLen
+        var done = false
+        while (i < n && !done) {
+          decode(i)
+          if (cp > 0xFFFF || !Character.isLetter(cp)) done = true
+          else {
+            val curUp = Character.isUpperCase(cp)
+            run += 1
+            if ((curUp && !prevUp) || run > 6) { pieces += 1; run = 1 }
+            prevUp = curUp
+            i += cpLen
+          }
+        }
+        count += pieces
+      } else if (Character.isDigit(cp)) {
+        var d = 1
+        i += cpLen
+        var done = false
+        while (i < n && !done) {
+          decode(i)
+          if (cp > 0xFFFF || !Character.isDigit(cp)) done = true
+          else { d += 1; i += cpLen }
+        }
+        count += (d + 2) / 3
+      } else { count += 1; i += cpLen }
+    }
+    count
+  }
+
   // ===== language ID =======================================================
 
   private val Stopwords: Map[String, Set[String]] = Map(

@@ -132,6 +132,75 @@ class GeneratorSpec extends SparkTestBase {
     assert(n.isNullAt(0))
   }
 
+  test("bpeish_token_count: equals the char-based counter on adversarial unicode (property)") {
+    import org.scalacheck.{Gen => G}
+    import org.scalacheck.rng.Seed
+    // letters with case flips, long runs, digit runs, punctuation, CJK
+    // (letters!), unicode whitespace, lone + paired surrogates (a lone
+    // surrogate and its UTF-8 '?' replacement are both one symbol char)
+    val ch: G[Char] = G.frequency(
+      (8, G.alphaNumChar), (3, G.oneOf(' ', '\t', '\n')),
+      (2, G.oneOf('.', ',', '!', '-', '@')),
+      (2, G.oneOf('\u4E2D', '\u041F', '\u00E9', '\u00A0', ' ')),
+      (1, G.oneOf('\uD83D', '\uDE00', '\u0301')))
+    val gen = G.listOf(ch).map(_.mkString)
+    val cases = (0 until 500).flatMap(i =>
+      gen(G.Parameters.default.withSize(120), Seed(0xBEEF + i))) :+
+      "CamelCaseWord internationalization 1234567 😀!" :+ ""
+    cases.foreach { s =>
+      val viaUtf8 = graft.text.TextAnalysis.bpeishTokenCountUtf8(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      val viaChars = graft.text.TextAnalysis.bpeishTokenCount(s)
+      assert(viaUtf8 == viaChars, s"input: ${s.take(60).map(_.toInt)}")
+    }
+  }
+
+  test("simhash64: equals the String-based simHash on well-formed unicode (property)") {
+    import org.scalacheck.{Gen => G}
+    import org.scalacheck.rng.Seed
+    // well-formed strings only: a lone surrogate round-trips through
+    // UTF-8 as '?' so the two forms legitimately differ there — Spark
+    // strings come from UTF-8 data, where lone surrogates cannot occur
+    val piece: G[String] = G.frequency(
+      (8, G.alphaNumStr.map(_.take(5))), (4, G.const(" ")),
+      (2, G.oneOf("\t", "\n", "\r", "\u000B", "\f")),
+      (2, G.oneOf("中", "Пр", "é", "\u00A0", "\u2028")), // NBSP/LS are WORD chars for regex \s
+      (1, G.oneOf("😀", "𝕏")))                            // astral: folds as surrogate pair
+    val gen = G.listOf(piece).map(_.mkString)
+    val cases = (0 until 500).flatMap(i =>
+      gen(G.Parameters.default.withSize(60), Seed(0xFACE + i))) :+
+      "the quick brown fox" :+ "one\u00A0word" :+ "😀 emoji doc" :+ ""
+    cases.foreach { s =>
+      val viaUtf8 = graft.text.Fingerprints.simHashUtf8(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      val viaChars = graft.text.Fingerprints.simHash(s)
+      assert(viaUtf8 == viaChars, s"input: ${s.take(60).map(_.toInt)}")
+    }
+  }
+
+  test("bpeish_token_count and simhash64 stay inside WholeStageCodegen") {
+    GraftSparkExtensions.register(spark)
+    val dir = tmpDir("textexpr")
+    Seq((1, "CamelCase 123456"), (2, "plain words here"))
+      .toDF("id", "text").write.parquet(s"$dir/t")
+    val df = spark.read.parquet(s"$dir/t")
+    val q = df.select(col("id"),
+      GraftSparkExtensions.bpeish_token_count(col("text")).as("n"),
+      GraftSparkExtensions.simhash64(col("text")).as("h"))
+    val got = q.orderBy(col("id")).collect()
+    assert(got.map(_.getInt(1)).toSeq ==
+      Seq(graft.text.TextAnalysis.bpeishTokenCount("CamelCase 123456"),
+          graft.text.TextAnalysis.bpeishTokenCount("plain words here")))
+    assert(got.map(_.getLong(2)).toSeq ==
+      Seq(graft.text.Fingerprints.simHash("CamelCase 123456"),
+          graft.text.Fingerprints.simHash("plain words here")))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("bpeish_token_count") && l.contains("simhash64")),
+      s"not codegen'd:\n$plan")
+    assert(!plan.contains("ScalaUDF"))
+  }
+
   test("expression is reusable directly (case class API)") {
     // library users embedding the expression in their own rules/plans
     val e = ParseHtmlNodes(org.apache.spark.sql.catalyst.expressions.Literal("<p>x</p>"))
