@@ -97,8 +97,14 @@ object ScalingBench {
         if (mode == "cluster" || mode == "external") jar else None)
       import s.implicits._
       val turns = s.read.parquet(s"$work/transcripts")
+      // north-rule shape: salted (explicit skew-defeating repartition,
+      // default) or extractfirst (extraction on scan partitions, one
+      // exchange of extracted text — the recommended production shape)
+      val shape = sys.env.getOrElse("SPARK_GRAFT_SCALE_SHAPE", "salted")
       def fullJob(): Unit =
-        Bench.runQuery(Pipeline.reassembled(Pipeline.extractTurns(turns)).toDF())
+        Bench.runQuery(
+          (if (shape == "extractfirst") Pipeline.extractReassembledExtractFirst(turns)
+           else Pipeline.reassembled(Pipeline.extractTurns(turns))).toDF())
       def extractJob(): Unit =
         Bench.runQuery(turns.select(col("conv_id"), col("turn_idx"), col("text"))
           .as[(String, Int, String)]

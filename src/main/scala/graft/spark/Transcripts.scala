@@ -22,7 +22,7 @@ object Transcripts {
     *  - extract_main output = "Conversation record\n" + doc + "\n" + facts
     *    for every variant (variant blocks contribute no kept text);
     *  - 3 hrefs per turn in document order;
-    *  - 38-node base DOM + a turn_idx%9-selected quirk block.
+    *  - 38-node base DOM + a turn_idx%10-selected quirk block.
     *
     * The quirk block (between `</footer>` and `</body>`) broadens the
     * DuckDB oracle beyond one fixed DOM shape (VERDICT r1 item 1):
@@ -47,7 +47,10 @@ object Transcripts {
     *  - v8 nested `<ul><li>..</li><li>..</li></ul>`: two-level block
     *    nesting in the quirk slot — prettify indents the li children one
     *    level deeper (Q15 block mode) and the BFS level-order surfaces
-    *    the li pairs a full level after the ul.
+    *    the li pairs a full level after the ul;
+    *  - v9 bare attribute `<input disabled type="text">`: Q7 no-value
+    *    param (bare key keeps its bare render, sorted before `type`) on
+    *    a Q4 void tag (nonpair, no endtag).
     */
   def textSqlExpr: String =
     """concat(
@@ -58,7 +61,7 @@ object Transcripts {
       |'<p>order ', okey, ' line ', lnum, ' flag ', rf, ' status ', ls, '</p>',
       |'<a href="/ord/', okey, '/', lnum, '">details</a></div>',
       |'<footer><p>footer boilerplate text</p></footer>',
-      |CASE CAST(turn_idx % 9 AS INT)
+      |CASE CAST(turn_idx % 10 AS INT)
       |  WHEN 1 THEN '<!-- note 11 -->'
       |  WHEN 2 THEN '<br><hr><img src="/x.png">'
       |  WHEN 3 THEN '<section><section>nested</section>'
@@ -67,6 +70,7 @@ object Transcripts {
       |  WHEN 6 THEN '< /q3>'
       |  WHEN 7 THEN '<em id="z2" class="a1">x</em>'
       |  WHEN 8 THEN '<ul><li>one</li><li>two</li></ul>'
+      |  WHEN 9 THEN '<input disabled type="text">'
       |  ELSE ''
       |END,
       |'</body></html>')"""
@@ -144,7 +148,7 @@ object Transcripts {
 
   /** The turn's quirk-block as a DuckDB SQL expression (oracle side). */
   val OracleVariantExpr: String =
-    """CASE turn_idx % 9
+    """CASE turn_idx % 10
       | WHEN 1 THEN '<!-- note 11 -->'
       | WHEN 2 THEN '<br><hr><img src="/x.png">'
       | WHEN 3 THEN '<section><section>nested</section>'
@@ -153,6 +157,7 @@ object Transcripts {
       | WHEN 6 THEN '< /q3>'
       | WHEN 7 THEN '<em id="z2" class="a1">x</em>'
       | WHEN 8 THEN '<ul><li>one</li><li>two</li></ul>'
+      | WHEN 9 THEN '<input disabled type="text">'
       | ELSE '' END""".stripMargin.replace("\n", "")
 
   /** The quirk-block as it SURVIVES parse+toHtml: identical to
