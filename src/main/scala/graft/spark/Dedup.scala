@@ -31,8 +31,6 @@ object Dedup {
     Fingerprints.jaccard(Fingerprints.wordShingles(a), Fingerprints.wordShingles(b)))
   private val minhashSimUdf = udf((a: Seq[Long], b: Seq[Long]) =>
     Fingerprints.minHashSimilarity(a.toArray, b.toArray))
-  private val winnowUdf = udf((text: String) =>
-    Fingerprints.winnow(if (text == null) "" else text).toSeq)
 
   /** Exact duplicate groups: md5(text) -> count. */
   def exactDupGroups(docs: DataFrame): DataFrame =
@@ -184,8 +182,15 @@ object Dedup {
   }
 
   /** Winnowing fingerprints (doc_id, fingerprint) exploded — substring-
-    * level dedup/contamination lookup table.
+    * level dedup/contamination lookup table. Plans the native
+    * [[graft.spark.catalyst.WinnowFingerprints]] Generator (no
+    * intermediate array encode; null text hashes as the empty string,
+    * matching the old UDF's guard).
     */
-  def fingerprintTable(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(winnowUdf(col("text"))).as("fingerprint"))
+  def fingerprintTable(docs: DataFrame): DataFrame = {
+    graft.spark.catalyst.GraftSparkExtensions.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+      graft.spark.catalyst.GraftSparkExtensions
+        .winnow_fingerprints(coalesce(col("text"), lit(""))))
+  }
 }

@@ -21,6 +21,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftSparkExtensions.wsTokenCountDescriptor)
     ext.injectFunction(GraftSparkExtensions.bpeishTokenCountDescriptor)
     ext.injectFunction(GraftSparkExtensions.simHash64Descriptor)
+    ext.injectFunction(GraftSparkExtensions.winnowFingerprintsDescriptor)
   }
 }
 
@@ -70,6 +71,17 @@ object GraftSparkExtensions {
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       simHash64Builder)
 
+  private def winnowFingerprintsBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 1, s"winnow_fingerprints takes 1 argument, got ${args.length}")
+    WinnowFingerprints(args.head)
+  }
+
+  private[catalyst] val winnowFingerprintsDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
+      winnowFingerprintsBuilder)
+
   /** Install into an already-built session (driver-owned sessions). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -80,6 +92,8 @@ object GraftSparkExtensions {
       "bpeish_token_count", bpeishTokenCountBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", simHash64Builder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_fingerprints", winnowFingerprintsBuilder, "scala_udf")
   }
 
   /** DataFrame-side surface: `df.select(parse_nodes(col("text")))` plans a
@@ -103,4 +117,8 @@ object GraftSparkExtensions {
   /** Codegen'd 64-bit SimHash (see [[SimHash64]]). */
   def simhash64(c: Column): Column =
     org.apache.spark.sql.functions.call_function("simhash64", c)
+
+  /** Winnowing-fingerprint Generator (see [[WinnowFingerprints]]). */
+  def winnow_fingerprints(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("winnow_fingerprints", c)
 }

@@ -201,6 +201,27 @@ class GeneratorSpec extends SparkTestBase {
     assert(!plan.contains("ScalaUDF"))
   }
 
+  test("winnow_fingerprints generator == UDF+explode path; no ScalaUDF in the plan") {
+    GraftSparkExtensions.register(spark)
+    val texts = Seq(
+      (1, "the quick brown fox jumps over the lazy dog and keeps running"),
+      (2, "short"),                       // below k=8: single fnv64 hash
+      (3, ""),                            // empty: single fnv64 hash
+      (4, "aaaaaaaaaaaaaaaaaaaaaaaa"),    // degenerate equal k-grams
+      (5, null: String))
+    val df = spark.createDataFrame(texts).toDF("doc_id", "text")
+    val viaGen = Dedup.fingerprintTable(df)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sorted
+    val wUdf = udf((t: String) =>
+      graft.text.Fingerprints.winnow(if (t == null) "" else t).toSeq)
+    val viaUdf = df.select(col("doc_id"), explode(wUdf(col("text"))).as("fingerprint"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sorted
+    assert(viaGen.toSeq == viaUdf.toSeq)
+    val plan = Dedup.fingerprintTable(df).queryExecution.executedPlan.toString
+    assert(plan.contains("winnow_fingerprints"), s"generator missing:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"UDF leaked into plan:\n$plan")
+  }
+
   test("expression is reusable directly (case class API)") {
     // library users embedding the expression in their own rules/plans
     val e = ParseHtmlNodes(org.apache.spark.sql.catalyst.expressions.Literal("<p>x</p>"))
