@@ -215,12 +215,21 @@ object Pipeline {
     * unbounded.
     */
   def extractReassembledExtractFirst(turns: DataFrame,
-                                     cfg: Config = Config()): Dataset[ExtractedTurn] = {
+                                     cfg: Config = Config()): Dataset[ExtractedTurn] =
+    reassembled(extractOnScanPartitions(turns, cfg))
+
+  /** Shuffle-free extraction: parse+extract per row directly on the
+    * incoming partitions (file-source splits are byte-balanced by
+    * maxPartitionBytes; the oversize guard bounds per-turn cost). Safe on
+    * both batch and STREAMING DataFrames — no repartition, no sort.
+    */
+  def extractOnScanPartitions(turns: DataFrame,
+                              cfg: Config = Config()): Dataset[ExtractedTurn] = {
     val spark = turns.sparkSession
     import spark.implicits._
     val maxChars = cfg.maxTextChars
     val repairFixed = cfg.repairTagsFixed
-    val extracted = turns
+    turns
       .select(col("conv_id"), col("turn_idx"), col("text"))
       .as[(String, Int, String)]
       .mapPartitions { it =>
@@ -235,7 +244,6 @@ object Pipeline {
           }
         }
       }
-    reassembled(extracted)
   }
 
   /** Per-turn output in stable (conv_id, turn_idx) order — the shape the

@@ -11,9 +11,9 @@ import org.apache.spark.sql.streaming.Trigger
   * the file offsets to the checkpoint, and stops; rerunning picks up only
   * files that landed since. Spark's streaming file source + checkpoint is
   * the exactly-once ledger here (vs. the batch path's explicit per-file
-  * lineage table). The transform itself is the same stateless salted
-  * extraction — ordering is applied at read time (sorting is not defined
-  * on unbounded streams).
+  * lineage table). The transform is the shuffle-free extract-first
+  * operator (extraction on source partitions) — ordering is applied at
+  * read time (sorting is not defined on unbounded streams).
   */
 object StreamingExtraction {
 
@@ -32,7 +32,10 @@ object StreamingExtraction {
       .parquet(inputPath)
       .select(col("conv_id"), col("turn_idx"), col("text"))
 
-    val extracted = Pipeline.extractTurns(turns, cfg)
+    // extraction runs on the file-source partitions directly — salting
+    // would shuffle raw text per microbatch for nothing (no reassembly
+    // happens in the sink; ordering is applied at read time)
+    val extracted = Pipeline.extractOnScanPartitions(turns, cfg)
 
     val q = extracted.writeStream
       .format("parquet")
