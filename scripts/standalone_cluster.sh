@@ -15,6 +15,13 @@ MASTER_URL="spark://127.0.0.1:7077"
 PIDDIR=/dev/shm/graft-standalone
 LOGDIR=$PIDDIR/logs
 
+# WORKER_CORES (default 4) and N_WORKERS (default 4) size the workers;
+# WORKER_CORES=1 gives four 1-core workers pinned to cpus 0..3 — the
+# under-the-host-ceiling shape (see BENCH/BASELINE.md) WITH hard cpuset
+# isolation.
+WORKER_CORES=${WORKER_CORES:-4}
+N_WORKERS=${N_WORKERS:-4}
+
 start() {
   mkdir -p "$LOGDIR"
   "$SPARK_HOME/bin/spark-class" org.apache.spark.deploy.master.Master \
@@ -22,18 +29,18 @@ start() {
     > "$LOGDIR/master.log" 2>&1 &
   echo $! > "$PIDDIR/master.pid"
   sleep 3
-  for i in 0 1 2 3; do
-    lo=$((i * 4)); hi=$((lo + 3))
+  for i in $(seq 0 $((N_WORKERS - 1))); do
+    lo=$((i * WORKER_CORES)); hi=$((lo + WORKER_CORES - 1))
     SPARK_LOCAL_DIRS=/dev/shm/graft-spark-w$i \
     taskset -c "$lo-$hi" \
       "$SPARK_HOME/bin/spark-class" org.apache.spark.deploy.worker.Worker \
-      --cores 4 --memory 6g --port $((11000 + i)) --webui-port $((8090 + i)) \
+      --cores "$WORKER_CORES" --memory 6g --port $((11000 + i)) --webui-port $((8090 + i)) \
       --work-dir "$PIDDIR/w$i" "$MASTER_URL" \
       > "$LOGDIR/worker$i.log" 2>&1 &
     echo $! >> "$PIDDIR/workers.pid"
   done
   sleep 4
-  echo "cluster up: $MASTER_URL (workers pinned to 0-3,4-7,8-11,12-15)"
+  echo "cluster up: $MASTER_URL ($N_WORKERS workers x $WORKER_CORES cores, pinned)"
 }
 
 stop() {
