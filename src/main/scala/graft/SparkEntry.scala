@@ -279,6 +279,20 @@ object SparkEntry {
     // ===== dedup =========================================================
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactDupGroups(docsWithDups(s, dir))),
+    // CONVERSATION-level exact dedup, end-to-end: extract-first pipeline
+    // -> ordered reassembly -> md5 group — the composition a training-data
+    // pipeline runs to drop duplicated conversations. Deterministic dup
+    // injection (orderkey%10==0 conversations appear twice) mirrors the
+    // oracle's UNION ALL; the md5 input is the EXTRACTED conversation
+    // text, so the oracle checks parse+extract+ordering+dedup together.
+    "q_conv_dedup" -> ((s, dir) => {
+      val ex = Pipeline.extractOnScanPartitions(Transcripts.derive(s, dir))
+      val convs = Pipeline.conversations(ex)
+        .select(col("conv_id"), col("conv_text").as("text"))
+      val dup = convs.unionByName(
+        convs.filter(expr("CAST(substring(conv_id, 6) AS BIGINT) % 10 = 0")))
+      Dedup.exactDupGroups(dup)
+    }),
     "q_neardup_pairs" -> ((s, dir) =>
       Dedup.nearDupPairs(Dedup.withPerturbed(docs(s, dir)), simThreshold = 0.8)
         .select(col("a"), col("b"))),
@@ -659,6 +673,14 @@ object SparkEntry {
           | SELECT text FROM documents
           | UNION ALL SELECT text FROM documents WHERE doc_id % 10 = 0
           |) GROUP BY 1""".stripMargin.replace("\n", ""),
+      "q_conv_dedup" ->
+        s"""$cte, c AS (SELECT conv_id,
+           | string_agg($extractExpr, chr(10) ORDER BY turn_idx) AS text
+           | FROM t GROUP BY conv_id),
+           |d AS (SELECT text FROM c UNION ALL SELECT text FROM c
+           | WHERE CAST(substring(conv_id, 6) AS BIGINT) % 10 = 0)
+           |SELECT md5(text) AS text_hash, count(*) AS cnt FROM d GROUP BY 1"""
+          .stripMargin.replace("\n", ""),
       "q_ngram_jaccard" ->
         """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
           |n AS (SELECT i FROM generate_series(1, 4096) AS s(i)),
