@@ -289,8 +289,11 @@ object SparkEntry {
       val ex = Pipeline.extractOnScanPartitions(Transcripts.derive(s, dir))
       val convs = Pipeline.conversations(ex)
         .select(col("conv_id"), col("conv_text").as("text"))
-      val dup = convs.unionByName(
-        convs.filter(expr("CAST(substring(conv_id, 6) AS BIGINT) % 10 = 0")))
+      // duplicate injection via row replication (explode), NOT a union of
+      // the pipeline with itself — extraction must run once
+      val dup = convs.select(col("text"), explode(sequence(lit(1),
+        when(expr("CAST(substring(conv_id, 6) AS BIGINT) % 10 = 0"), 2)
+          .otherwise(1))).as("copy"))
       Dedup.exactDupGroups(dup)
     }),
     "q_neardup_pairs" -> ((s, dir) =>
