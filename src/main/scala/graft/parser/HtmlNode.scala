@@ -41,15 +41,38 @@ final class HtmlNode private[parser] () {
   }
   def childs_=(v: ArrayBuffer[HtmlNode]): Unit = _childs = v
 
+  /** Non-null iff classify gated params-parsing on this element but the
+    * parse is DEFERRED until first access (most pipeline paths — notably
+    * extraction and toHtml — never read params, so the attribute state
+    * machine and the HashMap never run for them). Holds the tagname as
+    * it was at the original call point (pre-lowercase: the D slicing at
+    * dhtmlparser.d:368-370 locates the tagname inside the raw element,
+    * so deferring must not observe the lowered form).
+    */
+  private[parser] var paramsPending: String = null
+  @inline private def ensureParams(): Unit =
+    if (paramsPending != null) {
+      val tn = paramsPending
+      paramsPending = null
+      parseParams(tn)
+    }
+
   /** Tag parameters; keys are stored lowercased (dhtmlparser.d:36,399). */
   def params: mutable.HashMap[String, String] = {
+    ensureParams()
     if (_params == null) _params = new mutable.HashMap[String, String]()
     _params
   }
-  def params_=(v: mutable.HashMap[String, String]): Unit = _params = v
+  def params_=(v: mutable.HashMap[String, String]): Unit = {
+    paramsPending = null
+    _params = v
+  }
 
   @inline private[graft] def hasChilds: Boolean = _childs != null && _childs.nonEmpty
-  @inline private[graft] def hasParams: Boolean = _params != null && _params.nonEmpty
+  @inline private[graft] def hasParams: Boolean = {
+    ensureParams()
+    _params != null && _params.nonEmpty
+  }
   @inline private[graft] def foreachChild(f: HtmlNode => Unit): Unit =
     if (_childs != null) { var i = 0; while (i < _childs.length) { f(_childs(i)); i += 1 } }
 
@@ -76,7 +99,7 @@ final class HtmlNode private[parser] () {
 
     parseEndAndNonPair()
 
-    if (istag && !isendtag && element.indexOf('=') > 0) parseParams()
+    if (istag && !isendtag && element.indexOf('=') > 0) paramsPending = getTagName
 
     tagname = Ascii.lower(tagname)
   }
@@ -163,12 +186,11 @@ final class HtmlNode private[parser] () {
     * Gated by the caller on '=' at index>0; self-gated on ' ' at index>0.
     * Keys lowercased, quoted values unescaped, trailing bare key kept.
     */
-  private def parseParams(): Unit = {
+  private def parseParams(tn: String): Unit = {
     if (element.indexOf(" ") <= 0 || element.indexOf("=") <= 0) return
 
     // remove '<' & '>' then drop the tagname prefix (dhtmlparser.d:368-370).
     var p = Ascii.strip(element.substring(1, element.length - 1))
-    val tn = getTagName
     val idx = p.indexOf(tn)
     // D slices p[idx + tn.length .. $]; idx is -1 only when parseTagName
     // deleted </> chars out of the name. D would then slice from
@@ -261,6 +283,7 @@ final class HtmlNode private[parser] () {
 
   private def tagToStringInto(out: java.lang.StringBuilder): Unit = {
     if (!isOpeningTag) { out.append(element); return }
+    ensureParams()
     out.append('<').append(tagname)
     if (_params != null && _params.nonEmpty) {
       val keys = _params.keysIterator.toArray
@@ -455,6 +478,8 @@ final class HtmlNode private[parser] () {
     * (dhtmlparser.d:668-681).
     */
   def replaceWith(el: HtmlNode): Unit = {
+    el.ensureParams()
+    paramsPending = null
     _childs = el._childs
     _params = el._params
     endtag = el.endtag
