@@ -93,6 +93,22 @@ class PlanSpec extends SparkTestBase {
       s"extraction (object serialize) must be upstream of the exchange:\n$plan")
   }
 
+  test("conversation dedup: one extraction, two partial+final aggs, two exchanges") {
+    val df = graft.SparkEntry.queries("q_conv_dedup")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // extraction (object serialize) appears ONCE — the dup injection must
+    // replicate rows, not recompute the pipeline via self-union
+    assert("SerializeFromObject".r.findAllIn(plan).length == 1, plan)
+    // engine section = everything downstream of extraction (tree prints
+    // root-first, so it's the text BEFORE SerializeFromObject; below it
+    // sits input synthesis, which is not engine work): conv reassembly +
+    // md5 grouping = exactly two exchanges, each fed by a map-side
+    // partial aggregate
+    val engine = plan.substring(0, plan.indexOf("SerializeFromObject"))
+    assert("Exchange".r.findAllIn(engine).length == 2, plan)
+    assert(engine.contains("partial_collect_list") && engine.contains("partial_count"), plan)
+  }
+
   test("sessionize: exactly one exchange; both windows share the user_id sort") {
     val events = spark.read.parquet(s"$sf/events.parquet")
     val plan = Events.sessionize(events).queryExecution.executedPlan.toString
