@@ -342,7 +342,7 @@ object SparkEntry {
   )
 
   // ===== per-variant oracle constants ======================================
-  // The transcripts template carries a turn_idx%10-selected quirk block
+  // The transcripts template carries a turn_idx%11-selected quirk block
   // (Transcripts.textSqlExpr). Every constant below was derived BY HAND
   // from the reference semantics (dhtmlparser.d:869-922 tree building,
   // 533-587 prettify, 287-429 classifier; quirk ledger SURVEY.md §2.5)
@@ -360,12 +360,12 @@ object SparkEntry {
     * v5 adds 3 tokens; v6 adds 1 token that is itself dropped => 0.
     */
   private val NodeDeltaCase =
-    "CASE turn_idx % 10 WHEN 1 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 4 WHEN 4 THEN 3 WHEN 5 THEN 3 WHEN 7 THEN 3 WHEN 8 THEN 8 WHEN 9 THEN 1 ELSE 0 END"
+    "CASE turn_idx % 11 WHEN 1 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 4 WHEN 4 THEN 3 WHEN 5 THEN 3 WHEN 7 THEN 3 WHEN 8 THEN 8 WHEN 9 THEN 1 WHEN 10 THEN 10 ELSE 0 END"
   /** parse-error count per variant: v3's forced-nonpair outer section and
     * v6's dropped stray endtag (comments/text forced nonpair are not
     * errors).
     */
-  private val ErrDeltaCase = "CASE WHEN turn_idx % 10 IN (3, 6) THEN 1 ELSE 0 END"
+  private val ErrDeltaCase = "CASE WHEN turn_idx % 11 IN (3, 6) THEN 1 ELSE 0 END"
 
   private case class DomRow(id: Int, parent: Int, pos: Int, depth: Int,
                             kind: Int, tag: String, nonpair: Boolean)
@@ -415,7 +415,15 @@ object SparkEntry {
                 DomRow(41,37,2,4,2,"li",false), DomRow(43,37,3,4,3,"li",false),
                 DomRow(44,8,7,3,3,"ul",false)) ++ tails(45)),
       // v9: void input (Q4 nonpair) with a Q7 bare param — one tag node
-      9 -> (Seq(DomRow(37,8,6,3,2,"input",true)) ++ tails(38)))
+      9 -> (Seq(DomRow(37,8,6,3,2,"input",true)) ++ tails(38)),
+      // v10: three-level table — td pairs at depth 5; text children ids
+      // 40, 43 omitted
+      10 -> (Seq(DomRow(37,8,6,3,2,"table",false),
+                 DomRow(38,37,0,4,2,"tr",false),
+                 DomRow(39,38,0,5,2,"td",false), DomRow(41,38,1,5,3,"td",false),
+                 DomRow(42,38,2,5,2,"td",false), DomRow(44,38,3,5,3,"td",false),
+                 DomRow(45,37,1,4,3,"tr",false),
+                 DomRow(46,8,7,3,3,"table",false)) ++ tails(47)))
   }
 
   private def sqlStr(s: String) = "'" + s.replace("'", "''") + "'"
@@ -440,7 +448,7 @@ object SparkEntry {
 
   /** DuckDB VALUES list of (variant, node rows) for q_dom_nodes. */
   private def domValuesSql: String =
-    (0 to 9).flatMap { v =>
+    (0 to 10).flatMap { v =>
       (DomBase ++ DomExtra(v)).map(r =>
         s"($v,${r.id},${r.parent},${r.pos},${r.depth},${r.kind},${sqlStr(r.tag)},${r.nonpair})")
     }.mkString(",")
@@ -472,8 +480,10 @@ object SparkEntry {
       7 -> (Seq(("em",false),("em",true)), Seq.empty),
       8 -> (Seq(("ul",false),("ul",true)),
             Seq(("li",false),("li",true),("li",false),("li",true))),
-      9 -> (Seq(("input",false)), Seq.empty))
-    (0 to 9).flatMap { v =>
+      9 -> (Seq(("input",false)), Seq.empty),
+      10 -> (Seq(("table",false),("table",true)),
+             Seq(("tr",false),("tr",true),("td",false),("td",true),("td",false),("td",true))))
+    (0 to 10).flatMap { v =>
       val (l3, l4) = variantTags(v)
       (prefix ++ l3 ++ tail ++ l4).zipWithIndex.map { case ((t, e), i) =>
         s"($v,$i,${sqlStr(t)},$e)"
@@ -487,7 +497,7 @@ object SparkEntry {
     * normalized re-escape.
     */
   private val PrettyVariantExpr: String =
-    """CASE turn_idx % 10
+    """CASE turn_idx % 11
       | WHEN 1 THEN '    <!-- note 11 -->' || chr(10)
       | WHEN 2 THEN '    <br>' || chr(10) || '    <hr>' || chr(10) || '    <img src="/x.png">' || chr(10)
       | WHEN 3 THEN '    <section>' || chr(10) || '    <section>nested</section>' || chr(10)
@@ -497,6 +507,9 @@ object SparkEntry {
       | WHEN 8 THEN '    <ul>' || chr(10) || '      <li>one</li>' || chr(10)
       |   || '      <li>two</li>' || chr(10) || '    </ul>' || chr(10)
       | WHEN 9 THEN '    <input disabled type="text">' || chr(10)
+      | WHEN 10 THEN '    <table>' || chr(10) || '      <tr>' || chr(10)
+      |   || '        <td>c1</td>' || chr(10) || '        <td>c2</td>' || chr(10)
+      |   || '      </tr>' || chr(10) || '    </table>' || chr(10)
       | ELSE '' END""".stripMargin.replace("\n", "")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -525,7 +538,7 @@ object SparkEntry {
         s"""$cte SELECT conv_id, turn_idx, '<div class="main" id="main">' AS tag_str FROM t""",
       "q_span_tag_string" ->
         s"""$cte SELECT conv_id, turn_idx,
-           | CASE WHEN turn_idx % 10 = 4 THEN '<span title="say \\"hi\\" now">' ELSE '' END AS tag_str
+           | CASE WHEN turn_idx % 11 = 4 THEN '<span title="say \\"hi\\" now">' ELSE '' END AS tag_str
            | FROM t""".stripMargin.replace("\n", ""),
       "q_find_nodes" ->
         s"""$cte SELECT conv_id, turn_idx, 10 AS node_id, 'a' AS tagname, '/home' AS href FROM t""",
@@ -574,18 +587,18 @@ object SparkEntry {
            | v.depth, v.kind, v.tagname, v.nonpair
            | FROM t JOIN (VALUES $domValuesSql)
            | AS v(variant,node_id,parent_id,pos,depth,kind,tagname,nonpair)
-           | ON v.variant = t.turn_idx % 10""".stripMargin.replace("\n", ""),
+           | ON v.variant = t.turn_idx % 11""".stripMargin.replace("\n", ""),
       "q_gen_nodes" ->
         s"""$cte SELECT t.conv_id, t.turn_idx, v.node_id, v.parent_id, v.pos,
            | v.depth, v.kind, v.tagname, v.nonpair
            | FROM t JOIN (VALUES $domValuesSql)
            | AS v(variant,node_id,parent_id,pos,depth,kind,tagname,nonpair)
-           | ON v.variant = t.turn_idx % 10""".stripMargin.replace("\n", ""),
+           | ON v.variant = t.turn_idx % 11""".stripMargin.replace("\n", ""),
       "q_bfs_order" ->
         s"""$cte SELECT t.conv_id, t.turn_idx, v.bfs_pos, v.tagname, v.is_end
            | FROM t JOIN (VALUES $bfsValuesSql)
            | AS v(variant,bfs_pos,tagname,is_end)
-           | ON v.variant = t.turn_idx % 10""".stripMargin.replace("\n", ""),
+           | ON v.variant = t.turn_idx % 11""".stripMargin.replace("\n", ""),
       "q_prettify" ->
         s"""$cte SELECT conv_id, turn_idx,
            | '<html>' || chr(10) ||

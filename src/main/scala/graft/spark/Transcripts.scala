@@ -22,7 +22,7 @@ object Transcripts {
     *  - extract_main output = "Conversation record\n" + doc + "\n" + facts
     *    for every variant (variant blocks contribute no kept text);
     *  - 3 hrefs per turn in document order;
-    *  - 38-node base DOM + a turn_idx%10-selected quirk block.
+    *  - 38-node base DOM + a turn_idx%11-selected quirk block.
     *
     * The quirk block (between `</footer>` and `</body>`) broadens the
     * DuckDB oracle beyond one fixed DOM shape (VERDICT r1 item 1):
@@ -50,7 +50,10 @@ object Transcripts {
     *    the li pairs a full level after the ul;
     *  - v9 bare attribute `<input disabled type="text">`: Q7 no-value
     *    param (bare key keeps its bare render, sorted before `type`) on
-    *    a Q4 void tag (nonpair, no endtag).
+    *    a Q4 void tag (nonpair, no endtag);
+    *  - v10 `<table><tr><td>..</td>..</tr></table>`: THREE-level block
+    *    nesting — prettify indents td two levels past the slot and BFS
+    *    surfaces tr then td a level at a time.
     */
   def textSqlExpr: String =
     """concat(
@@ -61,7 +64,7 @@ object Transcripts {
       |'<p>order ', okey, ' line ', lnum, ' flag ', rf, ' status ', ls, '</p>',
       |'<a href="/ord/', okey, '/', lnum, '">details</a></div>',
       |'<footer><p>footer boilerplate text</p></footer>',
-      |CASE CAST(turn_idx % 10 AS INT)
+      |CASE CAST(turn_idx % 11 AS INT)
       |  WHEN 1 THEN '<!-- note 11 -->'
       |  WHEN 2 THEN '<br><hr><img src="/x.png">'
       |  WHEN 3 THEN '<section><section>nested</section>'
@@ -71,6 +74,7 @@ object Transcripts {
       |  WHEN 7 THEN '<em id="z2" class="a1">x</em>'
       |  WHEN 8 THEN '<ul><li>one</li><li>two</li></ul>'
       |  WHEN 9 THEN '<input disabled type="text">'
+      |  WHEN 10 THEN '<table><tr><td>c1</td><td>c2</td></tr></table>'
       |  ELSE ''
       |END,
       |'</body></html>')"""
@@ -148,7 +152,7 @@ object Transcripts {
 
   /** The turn's quirk-block as a DuckDB SQL expression (oracle side). */
   val OracleVariantExpr: String =
-    """CASE turn_idx % 10
+    """CASE turn_idx % 11
       | WHEN 1 THEN '<!-- note 11 -->'
       | WHEN 2 THEN '<br><hr><img src="/x.png">'
       | WHEN 3 THEN '<section><section>nested</section>'
@@ -158,6 +162,7 @@ object Transcripts {
       | WHEN 7 THEN '<em id="z2" class="a1">x</em>'
       | WHEN 8 THEN '<ul><li>one</li><li>two</li></ul>'
       | WHEN 9 THEN '<input disabled type="text">'
+      | WHEN 10 THEN '<table><tr><td>c1</td><td>c2</td></tr></table>'
       | ELSE '' END""".stripMargin.replace("\n", "")
 
   /** The quirk-block as it SURVIVES parse+toHtml: identical to

@@ -23,6 +23,7 @@ object VariantDump {
       case 7 => "<em id=\"z2\" class=\"a1\">x</em>"
       case 8 => "<ul><li>one</li><li>two</li></ul>"
       case 9 => "<input disabled type=\"text\">"
+      case 10 => "<table><tr><td>c1</td><td>c2</td></tr></table>"
       case _ => ""
     }
     "<html><head><title>conv</title><meta charset=\"utf-8\"></head><body>" +
@@ -37,7 +38,7 @@ object VariantDump {
   }
 
   def main(args: Array[String]): Unit = {
-    (0 to 9).foreach { v =>
+    (0 to 10).foreach { v =>
       val html = template(v)
       println(s"===== variant $v =====")
       println(s"-- input:\n$html")
