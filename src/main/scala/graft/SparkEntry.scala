@@ -105,8 +105,11 @@ object SparkEntry {
         .select(col("conv_id"), col("turn_idx"), col("extracted_text"),
           col("n_nodes"), col("n_errors"))
     }),
+    // extraction on scan partitions: the conversations groupBy is the
+    // only exchange, and it moves extracted text — the salt repartition
+    // of raw text bought nothing before a hash aggregation
     "q_conversations" -> ((s, dir) => {
-      val extracted = Pipeline.extractTurns(Transcripts.derive(s, dir))
+      val extracted = Pipeline.extractOnScanPartitions(Transcripts.derive(s, dir))
       Pipeline.conversations(extracted)
     }),
     // the one-exchange pipeline (range partition + in-partition sort):
