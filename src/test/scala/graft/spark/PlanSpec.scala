@@ -93,6 +93,14 @@ class PlanSpec extends SparkTestBase {
       s"extraction (object serialize) must be upstream of the exchange:\n$plan")
   }
 
+  test("conversations query: single exchange, downstream of extraction") {
+    val df = graft.SparkEntry.queries("q_conversations")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val engine = plan.substring(0, plan.indexOf("SerializeFromObject"))
+    assert("Exchange".r.findAllIn(engine).length == 1, plan)
+    assert(engine.contains("partial_collect_list"), plan) // map-side combine
+  }
+
   test("conversation dedup: one extraction, two partial+final aggs, two exchanges") {
     val df = graft.SparkEntry.queries("q_conv_dedup")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
