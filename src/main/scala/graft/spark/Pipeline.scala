@@ -61,7 +61,15 @@ object Pipeline {
                           // enable the flagged repairTagsFixed stage
                           // (Q16 intent; diverges from the reference
                           // oracle — default stays faithful)
-                          repairTagsFixed: Boolean = false)
+                          repairTagsFixed: Boolean = false,
+                          // "salted" (north_star wording: explicit salt
+                          // repartition before extraction) or
+                          // "extractfirst" (extraction on scan
+                          // partitions, one exchange of extracted text —
+                          // measured faster AND better-scaling; the
+                          // per-partition wall diagnostics ride the
+                          // salted path only)
+                          shape: String = "salted")
 
   /** Core stage: salted repartition + mapPartitions extraction.
     * Input must have (conv_id string, turn_idx int, text string [, src_file]).
@@ -309,7 +317,9 @@ object Pipeline {
     val metricsAcc = new CollectionAccumulator[PartitionMetrics]
     spark.sparkContext.register(metricsAcc, "graft.partitionMetrics")
 
-    val extracted = extractTurns(pending, cfg, metricsAcc)
+    val extracted =
+      if (cfg.shape == "extractfirst") extractOnScanPartitions(pending, cfg)
+      else extractTurns(pending, cfg, metricsAcc)
     val batchDir = s"$outDir/extracted/batch=$batchId"
     reassembled(extracted)
       .write.mode("overwrite")

@@ -128,6 +128,27 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("resumable run with extract-first shape == salted shape; resume still no-op") {
+    val dir = tmpDir("graft-pipe-ef")
+    val inPath = s"$dir/transcripts"
+    spark.createDataset(quirkTurns).toDF().repartition(4).write.parquet(inPath)
+    val cfgEf = Pipeline.Config(shape = "extractfirst")
+
+    val rS = Pipeline.runResumable(spark, inPath, s"$dir/out-salted")
+    val rE = Pipeline.runResumable(spark, inPath, s"$dir/out-ef", cfgEf)
+    assert(rE.filesProcessed == rS.filesProcessed && rE.batchId == rS.batchId)
+    def rows(o: String) = Pipeline.readExtracted(spark, o)
+      .select("conv_id", "turn_idx", "extracted_text", "n_nodes", "n_errors",
+        "span_pos", "span_kind")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getInt(3), r.getInt(4), r.getSeq[Long](5).toList,
+        r.getAs[Array[Byte]](6).toList)) // span_kind packs as BinaryType
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(rows(s"$dir/out-ef") == rows(s"$dir/out-salted"))
+    val r2 = Pipeline.runResumable(spark, inPath, s"$dir/out-ef", cfgEf)
+    assert(r2.filesProcessed == 0 && r2.skippedFiles == 4)
+  }
+
   test("resumable run: second run is a no-op; crash before checkpoint is idempotent") {
     val dir = tmpDir("graft-pipe")
     val inPath = s"$dir/transcripts"
