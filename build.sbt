@@ -31,4 +31,19 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // GC choice is a CORRECTNESS-of-measurement fix on this VM, not a tuning
+  // whim. With a large -Xmx (the driver benches at ~90g) G1 allocates eden
+  // from ever-new heap regions, marching first-touch page faults through
+  // tens of GiB of never-committed memory — and this VM zeroes pages so
+  // slowly that the faults ate 35-86% of wall as kernel system time with
+  // monotonically degrading replicates (the round-2 q_gen_nodes anomaly,
+  // 4.2 -> 56 -> 108 s; reproduced and attributed by Bench's new
+  // sys_pct/rss_gib columns; G1MaxNewSizePercent/MaxNewSize caps did NOT
+  // stop the region march, and -XX:+AlwaysPreTouch would need ~11 min to
+  // pre-zero 90 GiB here). ParallelGC's eden is one fixed contiguous
+  // range reused in place every cycle: committed pages stay warm, RSS
+  // stabilizes at the live set, and the storm cannot happen. Young gen
+  // capped at 6g: big enough that short-lived query output dies young (2g measured full-GC-bound on the string-heavy queries), small enough that the one-time eden commit stays cheap.
+  "-XX:+UseParallelGC",
+  "-XX:MaxNewSize=6g",
 )

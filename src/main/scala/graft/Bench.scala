@@ -40,17 +40,36 @@ object Bench {
     (System.nanoTime() - t0) / 1e6
   }
 
-  /** (steal, idle+iowait, total) jiffies from /proc/stat — hypervisor
-    * steal is the signature of the VM being throttled while its own
-    * single-thread probes stay fast.
+  /** (steal, idle+iowait, system, total) jiffies from /proc/stat —
+    * hypervisor steal is the signature of the VM being throttled while
+    * its own single-thread probes stay fast; SYSTEM time is the
+    * signature of kernel memory-reclaim stalls (tmpfs pressure against a
+    * huge JVM heap), which steal% and gc% are both blind to.
     */
-  def cpuStat(): (Long, Long, Long) =
+  def cpuStat(): (Long, Long, Long, Long) =
     try {
       val l = scala.io.Source.fromFile("/proc/stat").getLines().next()
       val f = l.split("\\s+").drop(1).map(_.toLong)
       val steal = if (f.length > 7) f(7) else 0L
-      (steal, f(3) + (if (f.length > 4) f(4) else 0L), f.sum)
-    } catch { case _: Throwable => (0L, 0L, 1L) }
+      (steal, f(3) + (if (f.length > 4) f(4) else 0L), f(2), f.sum)
+    } catch { case _: Throwable => (0L, 0L, 0L, 1L) }
+
+  /** Free bytes on the filesystem holding the shuffle dirs (tmpfs =
+    * RAM): accumulation here IS memory pressure on a no-swap box.
+    */
+  def shmFreeGib(dir: String): Double =
+    try {
+      val s = java.nio.file.Files.getFileStore(java.nio.file.Paths.get(dir))
+      s.getUsableSpace / 1073741824.0
+    } catch { case _: Throwable => -1.0 }
+
+  /** Resident set of this (driver==executor in local mode) JVM in GiB. */
+  def rssGib: Double =
+    try {
+      scala.io.Source.fromFile("/proc/self/status").getLines()
+        .find(_.startsWith("VmRSS:"))
+        .map(_.split("\\s+")(1).toLong / 1048576.0).getOrElse(-1.0)
+    } catch { case _: Throwable => -1.0 }
 
   /** The headline subset (scan+parse heavy / shuffle heavy / join heavy). */
   val headline: Seq[String] = Seq(
@@ -98,28 +117,35 @@ object Bench {
     // optional comma-separated subset for targeted re-measurement
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
     val selected = only.fold(headline)(f => headline.filter(f))
-    final case class Rep(sec: Double, calMs: Double, stealPct: Double, gcPct: Double)
+    final case class Rep(sec: Double, calMs: Double, stealPct: Double, gcPct: Double,
+                         sysPct: Double, shmFree: Double, heapUsed: Double, rss: Double)
     import scala.jdk.CollectionConverters._
     def gcMs: Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    val localDir = spark.conf.get("spark.local.dir")
     val results: Seq[(String, Seq[Rep])] =
       selected.flatMap { name =>
         SparkEntry.queries.get(name).map { fn =>
           val times = (0 until reps).map { _ =>
             val cal = calibrate()
-            val (st0, _, tot0) = cpuStat()
+            val (st0, _, sys0, tot0) = cpuStat()
             val gc0 = gcMs
             val t0 = System.nanoTime()
             try runQuery(fn(spark, sfDir))
             catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
             val sec = (System.nanoTime() - t0) / 1e9
-            val (st1, _, tot1) = cpuStat()
+            val (st1, _, sys1, tot1) = cpuStat()
             val stealPct =
               if (tot1 > tot0) 100.0 * (st1 - st0) / (tot1 - tot0) else 0.0
-            // steal and driver-JVM GC share of the wall window: the two
-            // attributable explanations for a slow replicate
+            // attributable explanations for a slow replicate: hypervisor
+            // steal, driver-JVM GC, kernel (memory-reclaim) system time,
+            // and the memory state itself (tmpfs free / heap / RSS)
+            val sysPct =
+              if (tot1 > tot0) 100.0 * (sys1 - sys0) / (tot1 - tot0) else 0.0
             val gcPct = if (sec > 0) (gcMs - gc0) / 10.0 / sec else 0.0
-            Rep(sec, cal, stealPct, gcPct)
+            val heapUsed = (Runtime.getRuntime.totalMemory() -
+              Runtime.getRuntime.freeMemory()) / 1073741824.0
+            Rep(sec, cal, stealPct, gcPct, sysPct, shmFreeGib(localDir), heapUsed, rssGib)
           }
           (name, times)
         }
@@ -135,6 +161,10 @@ object Bench {
     val cAll = obj((_, rs) => rs.map(r => f"${r.calMs}%.0f").mkString("[", ",", "]"))
     val sAll = obj((_, rs) => rs.map(r => f"${r.stealPct}%.1f").mkString("[", ",", "]"))
     val gAll = obj((_, rs) => rs.map(r => f"${r.gcPct}%.1f").mkString("[", ",", "]"))
+    val syAll = obj((_, rs) => rs.map(r => f"${r.sysPct}%.1f").mkString("[", ",", "]"))
+    val shmAll = obj((_, rs) => rs.map(r => f"${r.shmFree}%.1f").mkString("[", ",", "]"))
+    val heapAll = obj((_, rs) => rs.map(r => f"${r.heapUsed}%.1f").mkString("[", ",", "]"))
+    val rssAll = obj((_, rs) => rs.map(r => f"${r.rss}%.1f").mkString("[", ",", "]"))
     val totalMin = results.map(_._2.map(_.sec).min).sum
     val totalMed = results.map(t => median(t._2.map(_.sec))).sum
     val pipeSec = results.find(_._1 == "q_pipeline_extract")
@@ -147,7 +177,7 @@ object Bench {
     val tps1 = if (onePassSec > 0) nTurns / onePassSec else 0.0
     val tpsEf = if (exFirstSec > 0) nTurns / exFirstSec else 0.0
     val heapG = Runtime.getRuntime.maxMemory() / (1 << 30)
-    println(s"""{"metric":"total","value":${jnum(totalMin)},"unit":"sec","queries":$qMin,"queries_median":$qMed,"total_median":${jnum(totalMed)},"reps":$reps,"queries_all_sec":$qAll,"calib_ms":$cAll,"steal_pct":$sAll,"gc_pct":$gAll,"input":"materialized-parquet","sf":"$sfDir","turns":$nTurns,"turns_per_sec":${f"$tps%.1f"},"turns_per_sec_onepass":${f"$tps1%.1f"},"turns_per_sec_extractfirst":${f"$tpsEf%.1f"},"cpus":$cpus,"heap_gib":$heapG}""")
+    println(s"""{"metric":"total","value":${jnum(totalMin)},"unit":"sec","queries":$qMin,"queries_median":$qMed,"total_median":${jnum(totalMed)},"reps":$reps,"queries_all_sec":$qAll,"calib_ms":$cAll,"steal_pct":$sAll,"gc_pct":$gAll,"sys_pct":$syAll,"shm_free_gib":$shmAll,"heap_used_gib":$heapAll,"rss_gib":$rssAll,"input":"materialized-parquet","sf":"$sfDir","turns":$nTurns,"turns_per_sec":${f"$tps%.1f"},"turns_per_sec_onepass":${f"$tps1%.1f"},"turns_per_sec_extractfirst":${f"$tpsEf%.1f"},"cpus":$cpus,"heap_gib":$heapG}""")
     spark.stop()
     // free the /dev/shm staging copy (RAM-backed — must not accumulate)
     import scala.jdk.CollectionConverters._

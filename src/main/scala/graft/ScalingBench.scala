@@ -123,9 +123,9 @@ object ScalingBench {
       def clock(f: () => Unit): Double = {
         val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
       }
-      val (st0, _, tot0) = Bench.cpuStat()
+      val (st0, _, _, tot0) = Bench.cpuStat()
       val full = clock(fullJob)
-      val (st1, _, tot1) = Bench.cpuStat()
+      val (st1, _, _, tot1) = Bench.cpuStat()
       val extract = if (breakdown) clock(extractJob) else Double.NaN
       val scan = if (breakdown) clock(scanJob) else Double.NaN
       val steal = if (tot1 > tot0) 100.0 * (st1 - st0) / (tot1 - tot0) else 0.0

@@ -127,6 +127,23 @@ object SparkEntry {
         .select(col("conv_id"), col("turn_idx"), col("extracted_text"),
           col("n_nodes"), col("n_errors"))
     }),
+    // the span columns of the north_rule output shape, driver-checked:
+    // unpack the packed (span_pos, span_kind) wire format back to
+    // (start, end, kind) rows. The oracle computes the offsets
+    // ALGEBRAICALLY — every byte before each kept text node is template
+    // literal or length() arithmetic over dtext/okey/lnum/rf/ls
+    // (documents/lineitem text is pure ASCII, so Java UTF-16 offsets ==
+    // code points == DuckDB length(); Bench asserts nothing here — the
+    // driver hash does)
+    "q_pipeline_spans" -> ((s, dir) => {
+      Pipeline.extractReassembledExtractFirst(Transcripts.derive(s, dir)).toDF()
+        .select(col("conv_id"), col("turn_idx"),
+          posexplode(H.spans_view(col("span_pos"), col("span_kind")))
+            .as(Seq("span_idx", "sp")))
+        .select(col("conv_id"), col("turn_idx"), col("span_idx"),
+          col("sp.start").as("start_off"), col("sp.end").as("end_off"),
+          col("sp.kind").as("kind"))
+    }),
     // find("a") expressed RELATIONALLY over the exploded node arena
     // (SURVEY.md §2.2: node-table filter; node_id order = DFS pre-order) —
     // must equal q_find_links' UDF-side result. The arena comes from the
@@ -279,6 +296,14 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"), qual(col("text")).as("q"))
         .select(col("doc_id"), col("q._1").as("n_tokens"), col("q._2").as("score_bp"))
     }),
+    // partial oracle for q_quality (VERDICT r2 item 5): its n_tokens
+    // column alone IS SQL-expressible — quality()'s regex tokenizer and
+    // the ws tokenizer agree on single-space-separated ASCII text, so
+    // this shares q_token_count's exact oracle
+    "q_quality_tokens" -> ((s, dir) => {
+      val qual = udf((t: String) => graft.text.TextAnalysis.quality(t).nTokens)
+      docs(s, dir).select(col("doc_id"), qual(col("text")).as("n_tokens"))
+    }),
     // ===== dedup =========================================================
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactDupGroups(docsWithDups(s, dir))),
@@ -302,6 +327,16 @@ object SparkEntry {
     "q_neardup_pairs" -> ((s, dir) =>
       Dedup.nearDupPairs(Dedup.withPerturbed(docs(s, dir)), simThreshold = 0.8)
         .select(col("a"), col("b"))),
+    // partial oracle for the LSH path (VERDICT r2 item 5): the injected
+    // sibling pairs (doc_id, doc_id + 1000000) have word-3-gram Jaccard
+    // n/(n+1) >= 6/7, so at threshold 0.5 EVERY sibling must surface —
+    // predictable in SQL as exactly one row per document. (Requires all
+    // document texts distinct, which holds at the driver's sf: byte-dup
+    // texts would collapse in canonicalization.)
+    "q_neardup_siblings" -> ((s, dir) =>
+      Dedup.nearDupPairs(Dedup.withPerturbed(docs(s, dir)), simThreshold = 0.5)
+        .filter(col("b") === col("a") + lit(1000000L))
+        .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))),
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.exactNgramJaccardPairs(docs(s, dir), threshold = 0.5)),
     // the production tiering: exact n-gram Jaccard verification runs only
@@ -314,6 +349,21 @@ object SparkEntry {
     }),
     "q_simhash" -> ((s, dir) =>
       Dedup.simhashTable(docs(s, dir))),
+    // partial oracle for simhash (VERDICT r2 item 5): byte-identical
+    // texts MUST get identical simhash through the whole distributed
+    // path (catches per-partition nondeterminism — e.g. a seed or
+    // charset drifting with the executor); run over the dup-injected
+    // corpus so every %10 group genuinely exercises the cross-row claim
+    "q_simhash_consistency" -> ((s, dir) => {
+      import graft.spark.catalyst.GraftSparkExtensions
+      GraftSparkExtensions.register(s)
+      docsWithDups(s, dir).select(md5(col("text")).as("text_hash"),
+          GraftSparkExtensions.simhash64(coalesce(col("text"), lit(""))).as("simhash"))
+        .groupBy(col("text_hash"))
+        .agg(countDistinct(col("simhash")).as("n_sh"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("n_sh") > 1, 1L).otherwise(0L)).as("n_inconsistent"))
+    }),
     "q_fingerprints" -> ((s, dir) =>
       Dedup.fingerprintTable(docs(s, dir))),
     // ===== similarity search over embeddings ==============================
@@ -565,6 +615,24 @@ object SparkEntry {
         s"""$cte SELECT conv_id, turn_idx, $extractExpr AS extracted_text,
            | 38 + $NodeDeltaCase AS n_nodes, $ErrDeltaCase AS n_errors FROM t"""
           .stripMargin.replace("\n", ""),
+      // span offsets, algebraically: s1 = chars before the h1 text node
+      // (all template literal); 19 = length('Conversation record');
+      // 27 = 19 + length('</h1><p>'); 34 = 27 + length('</p><p>').
+      // Exactly 3 kept spans per turn in EVERY variant — the quirk
+      // blocks' text nodes all land in dropped blocks (< MinBlockChars).
+      "q_pipeline_spans" ->
+        s"""$cte, o AS (SELECT conv_id, turn_idx, dtext,
+           | 'order ' || okey || ' line ' || lnum || ' flag ' || rf || ' status ' || ls AS facts,
+           | length('<html><head><title>conv</title><meta charset="utf-8"></head><body>'
+           | || '<nav><a href="/home">Home</a> <a href="/about">About</a></nav>'
+           | || '<div class="main" id="main"><h1>') AS s1 FROM t)
+           |SELECT conv_id, turn_idx, 0 AS span_idx, CAST(s1 AS INT) AS start_off,
+           | CAST(s1 + 19 AS INT) AS end_off, 'text' AS kind FROM o
+           | UNION ALL SELECT conv_id, turn_idx, 1, CAST(s1 + 27 AS INT),
+           | CAST(s1 + 27 + length(dtext) AS INT), 'text' FROM o
+           | UNION ALL SELECT conv_id, turn_idx, 2, CAST(s1 + 34 + length(dtext) AS INT),
+           | CAST(s1 + 34 + length(dtext) + length(facts) AS INT), 'text' FROM o"""
+          .stripMargin.replace("\n", ""),
       "q_conversations" ->
         s"""$cte SELECT conv_id, count(*) AS n_turns,
            | CAST(sum(38 + $NodeDeltaCase) AS BIGINT) AS n_nodes,
@@ -687,6 +755,18 @@ object SparkEntry {
       "q_token_count_native" ->
         """SELECT doc_id, CAST(1 + length(text) - length(replace(text, ' ', '')) AS INT)
           | AS n_tokens FROM documents""".stripMargin.replace("\n", ""),
+      "q_quality_tokens" ->
+        """SELECT doc_id, CAST(1 + length(text) - length(replace(text, ' ', '')) AS INT)
+          | AS n_tokens FROM documents""".stripMargin.replace("\n", ""),
+      "q_neardup_siblings" ->
+        """SELECT CAST(doc_id AS BIGINT) AS a, CAST(doc_id + 1000000 AS BIGINT) AS b
+          | FROM documents""".stripMargin.replace("\n", ""),
+      "q_simhash_consistency" ->
+        """SELECT CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_groups,
+          | CAST(0 AS BIGINT) AS n_inconsistent FROM (
+          | SELECT text FROM documents
+          | UNION ALL SELECT text FROM documents WHERE doc_id % 10 = 0)"""
+          .stripMargin.replace("\n", ""),
       "q_dedup_exact" ->
         """SELECT md5(text) AS text_hash, count(*) AS cnt FROM (
           | SELECT text FROM documents

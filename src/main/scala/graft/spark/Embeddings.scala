@@ -20,14 +20,11 @@ final class TopKBySim(k: Int)
     extends Aggregator[(Long, Double), Seq[(Double, Long)], Seq[Long]] {
   def zero: Seq[(Double, Long)] = Seq.empty
 
-  def reduce(buf: Seq[(Double, Long)], a: (Long, Double)): Seq[(Double, Long)] = {
-    val entry = (-a._2, a._1)
-    if (buf.length >= k && Ordering[(Double, Long)].gteq(entry, buf.last)) buf
-    else ((buf :+ entry).sorted).take(k)
-  }
+  def reduce(buf: Seq[(Double, Long)], a: (Long, Double)): Seq[(Double, Long)] =
+    BoundedSortedBuf.insert(buf, (-a._2, a._1), k)
 
   def merge(b1: Seq[(Double, Long)], b2: Seq[(Double, Long)]): Seq[(Double, Long)] =
-    (b1 ++ b2).sorted.take(k)
+    BoundedSortedBuf.mergeSorted(b1, b2, k)
 
   def finish(r: Seq[(Double, Long)]): Seq[Long] = r.map(_._2)
 
@@ -188,13 +185,58 @@ object Embeddings {
     rankTopK(cand, k)
   }
 
-  /** Embedding-cosine near-duplicate pairs: bucket join, exact cosine
-    * verify >= threshold. (The embedding analog of Dedup.nearDupPairs.)
+  /** Canonical vectors: one row per distinct embedding (min vec_id wins).
+    * A mass-duplicated document cluster has byte-identical embeddings —
+    * collapsing it BEFORE bucketing is the first defense against a
+    * single RHP bucket exploding into m^2/2 candidate pairs (same
+    * two-tier design as Dedup.canonicalSignatures).
+    */
+  private def canonicalVecs(emb: DataFrame): DataFrame =
+    emb.groupBy(col("embedding")).agg(min(col("vec_id")).as("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+
+  /** Canonical vectors bucketed, with per-bucket population attached
+    * (one shuffle on the bucket key — the same key the self-join uses).
+    */
+  private def sizedBuckets(emb: DataFrame, nbits: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    canonicalVecs(emb)
+      .select(col("vec_id"), col("embedding"),
+        bucketUdf(nbits)(col("embedding")).as("bucket"))
+      .withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy(col("bucket"))))
+  }
+
+  /** Dropped-candidate metric for [[cosineNearDupPairs]]: RHP buckets
+    * whose (canonical-vector) population exceeded the cap, with the pair
+    * count each would have contributed — emit alongside the pairs, never
+    * truncate silently (same contract as Dedup.oversizeBuckets).
+    */
+  def cosineOversizeBuckets(emb: DataFrame, nbits: Int = 8,
+                            maxBucketSize: Int = Dedup.DefaultMaxBucketSize): DataFrame =
+    sizedBuckets(emb, nbits)
+      .filter(col("bucket_n") > maxBucketSize)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("bucket_n_vecs"))
+      .select(col("bucket"), col("bucket_n_vecs"),
+        (col("bucket_n_vecs") * (col("bucket_n_vecs") - 1) / 2).as("pairs_dropped"))
+
+  /** Embedding-cosine near-duplicate pairs: capped bucket join, exact
+    * cosine verify >= threshold — the embedding analog of
+    * Dedup.nearDupPairs, with the SAME two defenses (VERDICT r2 item 3):
+    * identical embeddings collapse to the min vec_id before bucketing
+    * (recover full groups by grouping on the embedding, cf.
+    * Dedup.exactDupGroups), and any bucket still holding more than
+    * `maxBucketSize` distinct vectors is excluded from candidate
+    * generation — a bounded, observable loss ([[cosineOversizeBuckets]])
+    * instead of an unbounded quadratic join.
     */
   def cosineNearDupPairs(emb: DataFrame, threshold: Double = 0.95,
-                         nbits: Int = 8): DataFrame = {
-    val bucketed = emb.select(col("vec_id"), col("embedding"),
-      bucketUdf(nbits)(col("embedding")).as("bucket"))
+                         nbits: Int = 8,
+                         maxBucketSize: Int = Dedup.DefaultMaxBucketSize): DataFrame = {
+    val bucketed = sizedBuckets(emb, nbits)
+      .filter(col("bucket_n") <= maxBucketSize)
+      .drop("bucket_n")
     bucketed.as("l").join(bucketed.as("r"),
         col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"),

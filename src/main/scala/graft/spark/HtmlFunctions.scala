@@ -216,6 +216,12 @@ object HtmlFunctions {
     (r.text, r.spans.map(s => SpanRec(s.start, s.end, s.kind)), r.nNodes, r.nErrors)
   })
 
+  /** Struct view over the packed span columns (SpanCodec wire format) —
+    * for inspecting/oracle-checking pipeline output without re-parsing.
+    */
+  val spans_view = udf((pos: Array[Long], kinds: Array[Byte]) =>
+    SpanCodec.unpack(pos, kinds))
+
   def extractMainText(c: Column): Column = extract_main(c).getField("_1")
 
   /** Register everything for spark.sql use. */

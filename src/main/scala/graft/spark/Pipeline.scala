@@ -42,18 +42,30 @@ object Pipeline {
   final class FirstKTurns(k: Int)
       extends org.apache.spark.sql.expressions.Aggregator[
         (Int, String), Seq[(Int, String)], Seq[(Int, String)]] {
+    private implicit val byIdx: Ordering[(Int, String)] = Ordering.by(_._1)
     def zero: Seq[(Int, String)] = Seq.empty
     def reduce(buf: Seq[(Int, String)], a: (Int, String)): Seq[(Int, String)] =
-      if (buf.length >= k && a._1 >= buf.last._1) buf
-      else ((buf :+ a).sortBy(_._1)).take(k)
+      BoundedSortedBuf.insert(buf, a, k)
     def merge(b1: Seq[(Int, String)], b2: Seq[(Int, String)]): Seq[(Int, String)] =
-      (b1 ++ b2).sortBy(_._1).take(k)
+      BoundedSortedBuf.mergeSorted(b1, b2, k)
     def finish(r: Seq[(Int, String)]): Seq[(Int, String)] = r
     def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Int, String)]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
     def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Int, String)]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
+
+  /** Oversize test in Unicode CODE POINTS — the same unit SQL `length()`
+    * uses in both Spark and DuckDB, so the lineage ledger's
+    * `length(text) > maxTextChars` predicate selects exactly the rows
+    * the extraction skipped (ADVICE r2: the old UTF-16 `String.length`
+    * guard diverged from the ledger for supplementary-plane text near
+    * the limit). The UTF-16 length upper-bounds the code-point count, so
+    * the common path stays O(1); codePointCount runs only for strings
+    * already over the limit in UTF-16 units.
+    */
+  @inline private[spark] def isOversize(t: String, maxChars: Int): Boolean =
+    t.length > maxChars && t.codePointCount(0, t.length) > maxChars
 
   final case class Config(partitions: Int = 0, // 0 = spark.sql.shuffle.partitions
                           maxTextChars: Int = 4 << 20,
@@ -97,7 +109,7 @@ object Pipeline {
           val t = if (text == null) "" else text
           nTurns += 1; nBytes += t.length
           val rec =
-            if (t.length > maxChars) {
+            if (isOversize(t, maxChars)) {
               nOversize += 1
               ExtractedTurn(conv, idx, "", Array.emptyLongArray, Array.emptyByteArray, 0, 1)
             } else {
@@ -196,7 +208,7 @@ object Pipeline {
       .mapPartitions { it =>
         it.map { case (conv, idx, text) =>
           val t = if (text == null) "" else text
-          if (t.length > maxChars)
+          if (isOversize(t, maxChars))
             ExtractedTurn(conv, idx, "", Array.emptyLongArray, Array.emptyByteArray, 0, 1)
           else {
             val r = Extractor.extract(t, repairFixed)
@@ -243,7 +255,7 @@ object Pipeline {
       .mapPartitions { it =>
         it.map { case (conv, idx, text) =>
           val t = if (text == null) "" else text
-          if (t.length > maxChars)
+          if (isOversize(t, maxChars))
             ExtractedTurn(conv, idx, "", Array.emptyLongArray, Array.emptyByteArray, 0, 1)
           else {
             val r = Extractor.extract(t, repairFixed)
@@ -271,6 +283,15 @@ object Pipeline {
                               rowsProcessed: Long, skippedFiles: Long)
 
   /** Resumable batch run over a transcripts parquet directory.
+    *
+    * SCHEMA NOTE (v2 break): since the round-2 ledger rework, `metrics/`
+    * holds ONE aggregate row per batch (n_turns, n_nodes, n_errors,
+    * n_chars_out, n_bytes_in, n_oversize, snapshot_id) and the old
+    * per-partition accumulator rows live under `metrics_diag/`. An
+    * outDir whose `metrics/` contains pre-rework batches mixes the two
+    * incompatible schemas — read such legacy batches from their
+    * `metrics_diag/` sibling (or reprocess into a fresh outDir); readers
+    * can tell them apart by the presence of the `part_id` column.
     *
     * The resume filter is a left_anti JOIN of the input against the
     * checkpoint table on src_file — never a driver-side collect of file
@@ -329,9 +350,11 @@ object Pipeline {
     // oversize count (one pass; same groupBy). Batch-keyed overwrite =>
     // idempotent on rerun of the same pending set (the `batch` partition
     // column comes from the directory name on read).
+    // n_bytes = true UTF-8 octets (octet_length); n_oversize counts the
+    // SAME rows the extraction's code-point guard skipped (isOversize)
     val lineage = pending.groupBy(col("src_file").as("file"))
       .agg(count(lit(1)).as("row_count"),
-        coalesce(sum(length(col("text"))), lit(0L)).as("n_bytes"),
+        coalesce(sum(octet_length(col("text"))), lit(0L)).as("n_bytes"),
         coalesce(sum(when(length(col("text")) > cfg.maxTextChars, 1L)
           .otherwise(0L)), lit(0L)).as("n_oversize"))
       .select(lit(cfg.snapshotId).as("snapshot_id"), col("file"),

@@ -35,7 +35,10 @@ object SpanCodec {
     Kinds.zipWithIndex.map { case (k, i) => k -> i.toByte }.toMap
 
   def packPos(start: Int, end: Int): Long = (start.toLong << 32) | (end.toLong & 0xFFFFFFFFL)
-  def kindByte(kind: String): Byte = KindIndex(kind)
+  def kindByte(kind: String): Byte = KindIndex.getOrElse(kind,
+    throw new IllegalArgumentException(
+      s"unknown span kind '$kind' — not in SpanCodec.Kinds ${Kinds.mkString("[", ",", "]")}; " +
+        "append new kinds to the dictionary (it is wire-format, append-only)"))
 
   def pack(spans: Seq[graft.extract.Span]): (Array[Long], Array[Byte]) = {
     val pos = new Array[Long](spans.length)
@@ -72,7 +75,9 @@ final case class NodeRow(node_id: Int, parent_id: Int, pos: Int, depth: Int,
 /** Per-partition parse diagnostics row (pipeline metrics_diag table;
   * accumulator-sourced wall times — task retries may duplicate entries.
   * The committed `metrics` table is the retry-safe ledger: one row per
-  * batch, aggregated from the written output + lineage).
+  * batch, aggregated from the written output + lineage). n_bytes here is
+  * UTF-16 units (cheap in-loop count, diagnostics only); the lineage
+  * ledger's n_bytes is true UTF-8 octets.
   */
 final case class PartitionMetrics(part_id: Int, n_turns: Long, n_bytes: Long,
                                   n_nodes: Long, n_errors: Long,

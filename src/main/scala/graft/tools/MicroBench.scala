@@ -35,5 +35,36 @@ object MicroBench {
       }
       run("extract", 100000) { Extractor.extract(doc) }
     }
+
+    // bounded top-k reduce cost (VERDICT r2 item 4): binary insert vs the
+    // old sort-and-take per accepted row, k = 2000, random arrival. The
+    // n vs 2n rows/s ratio shows the new reduce is ~linear in rows once
+    // the buffer is warm (rejects are O(1); accepted inserts O(k) copy
+    // but only ~k·ln(n/k) of them occur), while sort-and-take pays an
+    // O(k log k) sort per accepted row.
+    locally {
+      val k = 2000
+      val rnd = new scala.util.Random(1)
+      def stream(n: Int): Array[Int] = Array.fill(n)(rnd.nextInt(1 << 30))
+      def newReduce(xs: Array[Int]): Int =
+        xs.foldLeft(Seq.empty[Int])((b, e) => graft.spark.BoundedSortedBuf.insert(b, e, k)).length
+      def oldReduce(xs: Array[Int]): Int =
+        xs.foldLeft(Seq.empty[Int]) { (b, e) =>
+          if (b.length >= k && e >= b.last) b else (b :+ e).sorted.take(k)
+        }.length
+      (1 to 2).foreach { round =>
+        println(s"--- top-k reduce round $round ---")
+        for (n <- Seq(200000, 400000)) {
+          val xs = stream(n)
+          def time(tag: String)(f: => Int): Unit = {
+            val t0 = System.nanoTime(); val r = f
+            val sec = (System.nanoTime() - t0) / 1e9
+            println(f"[$tag n=$n] ${n / sec}%.0f rows/s (buf=$r)")
+          }
+          time("insert-binary")(newReduce(xs))
+          if (n == 200000) time("sort-take-old")(oldReduce(xs))
+        }
+      }
+    }
   }
 }

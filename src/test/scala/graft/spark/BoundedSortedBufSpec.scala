@@ -1,0 +1,38 @@
+package graft.spark
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BoundedSortedBuf == sort-and-take semantics (the pattern it replaced),
+  * for every interleaving of inserts and merges.
+  */
+class BoundedSortedBufSpec extends AnyFunSuite {
+
+  test("insert equals sorted.take(k) over random streams (stable on ties)") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 200) {
+      val k = 1 + rnd.nextInt(8)
+      val xs = Vector.fill(rnd.nextInt(40))((rnd.nextInt(10), rnd.nextInt(1000)))
+      val got = xs.foldLeft(Seq.empty[(Int, Int)])(
+        (b, e) => BoundedSortedBuf.insert(b, e, k)(Ordering.by(_._1)))
+      val want = xs.sortBy(_._1).take(k)
+      assert(got == want, s"k=$k xs=$xs")
+    }
+  }
+
+  test("mergeSorted equals concat-sort-take over random sorted buffers") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 200) {
+      val k = 1 + rnd.nextInt(8)
+      val a = Vector.fill(rnd.nextInt(12))(rnd.nextInt(100)).sorted
+      val b = Vector.fill(rnd.nextInt(12))(rnd.nextInt(100)).sorted
+      val got = BoundedSortedBuf.mergeSorted(a, b, k)
+      assert(got == (a ++ b).sorted.take(k), s"k=$k a=$a b=$b")
+    }
+  }
+
+  test("full-buffer reject path leaves the buffer untouched (same reference)") {
+    val buf = BoundedSortedBuf.insert(
+      BoundedSortedBuf.insert(Seq.empty[Int], 1, 2), 2, 2)
+    assert(BoundedSortedBuf.insert(buf, 5, 2) eq buf)
+  }
+}

@@ -181,8 +181,9 @@ class PipelineSpec extends SparkTestBase {
     val lin = spark.read.parquet(s"$outDir/lineage")
     assert(lin.count() == 4)
     assert(lin.agg(sum("row_count")).head.getLong(0) == quirkTurns.size)
+    // n_bytes = true UTF-8 octets since round 3 (ADVICE r2 unit fix)
     assert(lin.agg(sum("n_bytes")).head.getLong(0) ==
-      quirkTurns.map(_.text.length.toLong).sum)
+      quirkTurns.map(_.text.getBytes("UTF-8").length.toLong).sum)
     // metrics ledger: ONE aggregate row per batch, derived from the
     // committed output (retry-safe — not an accumulator), accounting for
     // every turn / node / error exactly once

@@ -127,6 +127,19 @@ class PlanSpec extends SparkTestBase {
     assert(!readSchema.contains("props") && !readSchema.contains("event_type"))
   }
 
+  test("sessionStats: one exchange total — the groupBy reuses the window's partitioning") {
+    // the window hash-partitions on user_id; ClusteredDistribution
+    // (user_id, session_idx) is satisfied by it, so the per-session
+    // aggregate must add NO second exchange (round 2 re-joined on
+    // event_id: three shuffles)
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val plan = Events.sessionStats(events).queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"sessionStats must shuffle exactly once, got $exchanges:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"sessionStats must not re-join events:\n$plan")
+  }
+
   test("bucketed transcripts: conversation reassembly aggregates with NO exchange") {
     // the 100 TB layout: the transcripts table bucketed on conv_id (what
     // an Iceberg bucket-partitioned table gives us) lets every
