@@ -256,6 +256,20 @@ object SparkEntry {
       StreamingExtraction.readExtracted(s, s"$work/out")
         .select(col("conv_id"), col("turn_idx"), col("extracted_text"))
     }),
+    // the STATEFUL streaming path (flatMapGroupsWithState) end-to-end
+    // through a file sink: one AvailableNow run over the staged events
+    // must equal the batch sessionize operator exactly (in-group sort +
+    // state fold), so it shares q_sessionize's DuckDB oracle
+    "q_stream_sessions" -> ((s, dir) => {
+      import graft.spark.StreamingSessions
+      val work = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("/tmp"), "graft-stream-s").toString
+      s.read.parquet(s"$dir/events.parquet")
+        .write.mode("overwrite").parquet(s"$work/in")
+      StreamingSessions.runAvailableNow(s, s"$work/in", s"$work/out", gapMinutes = 30)
+      StreamingSessions.readSessions(s, s"$work/out")
+        .select(col("event_id"), col("user_id"), col("session_idx"))
+    }),
     // ===== event-stream ops over events ====================================
     "q_sessionize" -> ((s, dir) =>
       Events.sessionize(s.read.parquet(s"$dir/events.parquet"), gapMinutes = 30)),
@@ -385,6 +399,17 @@ object SparkEntry {
     "q_embed_ivf_full" -> ((s, dir) =>
       Embeddings.ivfTopK(emb(s, dir), k = 5, nQueries = 10,
         nCentroids = 8, nProbe = 8)),
+    // embedding-cosine near-dup through the PRODUCTION config (capped
+    // RHP buckets, nbits=8) with an exact oracle: injected x2-scaled
+    // siblings share their original's bucket deterministically (sign of
+    // the hyperplane dot is scale-invariant) and cosine ~1.0, while no
+    // natural pair in the synthetic corpus reaches 0.95 (max ~0.52) —
+    // so the result must be exactly one (vec_id, vec_id + 1000000) pair
+    // per vector
+    "q_cosine_neardup" -> ((s, dir) =>
+      Embeddings.cosineNearDupPairs(Embeddings.withScaledSiblings(emb(s, dir)),
+          threshold = 0.95, nbits = 8)
+        .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))),
     // ===== multimodal plumbing ============================================
     "q_media_features" -> ((s, dir) =>
       Multimodal.extractFeatures(Multimodal.syntheticMedia(docs(s, dir)))
@@ -729,6 +754,18 @@ object SparkEntry {
           .stripMargin.replace("\n", ""),
       "q_stream_extract" ->
         s"$cte SELECT conv_id, turn_idx, $extractExpr AS extracted_text FROM t",
+      "q_cosine_neardup" ->
+        """SELECT CAST(vec_id AS BIGINT) AS a, CAST(vec_id + 1000000 AS BIGINT) AS b
+          | FROM embeddings""".stripMargin.replace("\n", ""),
+      "q_stream_sessions" ->
+        """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+          | lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+          | FROM events)
+          |SELECT event_id, user_id,
+          | CAST(sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+          |   OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+          |   AS session_idx
+          |FROM e""".stripMargin.replace("\n", " "),
       "q_sessionize" ->
         """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
           | lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us

@@ -185,6 +185,22 @@ object Embeddings {
     rankTopK(cand, k)
   }
 
+  /** Deterministic near-duplicates for exercising the cosine path on
+    * synthetic data (the embedding analog of Dedup.withPerturbed): each
+    * vector gets a sibling (vec_id + offset) scaled by 2. Scaling by a
+    * power of two changes only the float exponent, so the sibling is NOT
+    * byte-identical (survives canonicalization) yet lands in exactly the
+    * same random-hyperplane bucket (the sign of dot(2v, p) equals the
+    * sign of dot(v, p) — scaling commutes with rounding) with cosine
+    * exactly ~1.0 — SQL-predictable pairs for the driver oracle.
+    */
+  def withScaledSiblings(emb: DataFrame, offset: Long = 1000000L): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding"))
+    base.unionByName(base.select(
+      (col("vec_id") + lit(offset)).as("vec_id"),
+      transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+  }
+
   /** Canonical vectors: one row per distinct embedding (min vec_id wins).
     * A mass-duplicated document cluster has byte-identical embeddings —
     * collapsing it BEFORE bucketing is the first defense against a

@@ -86,6 +86,26 @@ class DedupSpec extends SparkTestBase {
     assert(capped.count() == 0)
   }
 
+  test("scaled siblings: x2 vector keeps its RHP bucket exactly (scale-invariant sign)") {
+    // the invariant q_cosine_neardup's exact oracle rests on: doubling a
+    // float vector only shifts exponents, so every hyperplane dot keeps
+    // its sign and the bucket is IDENTICAL, not merely close
+    val vecs = emb.select(col("embedding")).as[Seq[Float]].take(100)
+    for (v <- vecs; nbits <- Seq(4, 8, 16)) {
+      val a = v.toArray
+      val b = a.map(_ * 2.0f)
+      assert(graft.text.Fingerprints.rhpBucket(a, nbits) ==
+        graft.text.Fingerprints.rhpBucket(b, nbits))
+      assert(graft.text.Fingerprints.cosine(a, b) > 0.999)
+    }
+    // and the end-to-end pairs are exactly one (id, id+offset) per vector
+    val pairs = Embeddings.cosineNearDupPairs(
+        Embeddings.withScaledSiblings(emb), threshold = 0.95, nbits = 8)
+      .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
+    val n = emb.count()
+    assert(pairs == (0L until n).map(id => (id, id + 1000000L)).toSet)
+  }
+
   test("simhash: near-dup siblings land within small hamming distance") {
     val table = Dedup.simhashTable(Dedup.withPerturbed(docs))
       .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
