@@ -275,6 +275,13 @@ object SparkEntry {
       Events.sessionize(s.read.parquet(s"$dir/events.parquet"), gapMinutes = 30)),
     "q_session_stats" -> ((s, dir) =>
       Events.sessionStats(s.read.parquet(s"$dir/events.parquet"), gapMinutes = 30)),
+    // the skew-safe two-pass shape must produce IDENTICAL assignments
+    // (same oracle as q_sessionize): per-event work partitions on
+    // (user_id, day-bucket) so a monster user cannot pin one reducer;
+    // the per-user sequential pass runs over per-bucket summaries only
+    "q_sessionize_skewsafe" -> ((s, dir) =>
+      Events.sessionizeSkewSafe(s.read.parquet(s"$dir/events.parquet"),
+        gapMinutes = 30, bucketMinutes = 1440)),
     // ===== text analysis over documents ===================================
     "q_token_count" -> ((s, dir) => {
       val tok = udf((t: String) => graft.text.TextAnalysis.wsTokenCount(t))
@@ -767,6 +774,15 @@ object SparkEntry {
           |   AS session_idx
           |FROM e""".stripMargin.replace("\n", " "),
       "q_sessionize" ->
+        """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+          | lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+          | FROM events)
+          |SELECT event_id, user_id,
+          | CAST(sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+          |   OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+          |   AS session_idx
+          |FROM e""".stripMargin.replace("\n", " "),
+      "q_sessionize_skewsafe" ->
         """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
           | lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
           | FROM events)

@@ -51,6 +51,70 @@ object Events {
       .select(col("event_id"), col("user_id"), col("ts_us"), col("session_idx"))
   }
 
+  /** Skew-safe sessionize — identical output to [[sessionize]], built
+    * for the adversarial monster key the plain shape cannot survive: a
+    * user with 10^9 events pins one reducer in the
+    * `Window.partitionBy(user_id)` sort. Here the per-event work
+    * partitions on (user_id, time-bucket), so a monster user spreads
+    * over `monsterDays`-sized slices, and the only per-USER sequential
+    * pass runs over the tiny per-bucket summary table (one row per
+    * (user, bucket) — data-size-independent of the user's event count).
+    *
+    * Two passes:
+    *  1. local window per (user_id, bucket): gap flags + running local
+    *     session rank; per-bucket summary (first/last ts, session count)
+    *     aggregates on the SAME partitioning (no extra exchange);
+    *  2. per-user ordered scan over summaries decides whether each
+    *     bucket's first event opens a new session (gap vs previous
+    *     bucket's last ts — sessions spanning any number of buckets,
+    *     even empty gaps, resolve correctly) and the cumulative session
+    *     offset; joined back (broadcast-sized side) to emit
+    *     session_idx = offset + first_flag + local_rank.
+    */
+  def sessionizeSkewSafe(events: DataFrame, gapMinutes: Int = 30,
+                         bucketMinutes: Int = 1440): DataFrame = {
+    val gapMicros = gapMinutes.toLong * 60L * 1000000L
+    val bucketUs = bucketMinutes.toLong * 60L * 1000000L
+    val e = events.select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+      .withColumn("bkt", floor(col("ts_us") / lit(bucketUs)))
+
+    val wLocal = Window.partitionBy(col("user_id"), col("bkt"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val local = e
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(wLocal))
+      .withColumn("new_local",
+        when(col("prev_us").isNotNull && col("ts_us") - col("prev_us") > gapMicros, 1L)
+          .otherwise(0L))
+      .withColumn("local_rank",
+        sum(col("new_local")).over(
+          wLocal.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+
+    // summary: one row per (user, bucket); groupBy reuses the window's
+    // (user_id, bkt) partitioning — no extra exchange on the event data
+    val sums = local.groupBy(col("user_id"), col("bkt"))
+      .agg(min(col("ts_us")).as("first_us"), max(col("ts_us")).as("last_us"),
+        sum(col("new_local")).as("n_new"))
+    val wUser = Window.partitionBy(col("user_id")).orderBy(col("bkt"))
+    val offsets = sums
+      .withColumn("prev_last", lag(col("last_us"), 1).over(wUser))
+      .withColumn("first_flag",
+        when(col("prev_last").isNull || col("first_us") - col("prev_last") > gapMicros, 1L)
+          .otherwise(0L))
+      .withColumn("sess_before",
+        coalesce(sum(col("first_flag") + col("n_new")).over(
+          wUser.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("user_id"), col("bkt"), col("first_flag"), col("sess_before"))
+
+    // join back: the event side is ALREADY partitioned on (user_id, bkt)
+    // from the local window, so this adds no exchange on the big side
+    // (the summary side shuffles / AQE broadcasts it — not forced, since
+    // offsets scales with the USER count, not with any user's size)
+    local.join(offsets, Seq("user_id", "bkt"))
+      .select(col("event_id"), col("user_id"),
+        (col("sess_before") + col("first_flag") + col("local_rank")).as("session_idx"))
+  }
+
   /** Per-session aggregates: event count and span in microseconds.
     * ONE shuffle total: the groupBy's ClusteredDistribution(user_id,
     * session_idx) is satisfied by the window's HashPartitioning(user_id),
