@@ -325,6 +325,31 @@ object SparkEntry {
       val qual = udf((t: String) => graft.text.TextAnalysis.quality(t).nTokens)
       docs(s, dir).select(col("doc_id"), qual(col("text")).as("n_tokens"))
     }),
+    // cross-operator invariants of the remaining rows-only text ops,
+    // surfaced as ONE driver-checkable row (VERDICT r2 item 5 pattern):
+    // every BPE-ish subword count >= its ws token count (chunking never
+    // merges across whitespace), every quality score lands in [0, 1e4]
+    // basis points, and langid only ever claims a language from its
+    // profile set (or 'und')
+    "q_text_invariants" -> ((s, dir) => {
+      import graft.spark.catalyst.GraftSparkExtensions
+      GraftSparkExtensions.register(s)
+      val lang = udf((t: String) => graft.text.TextAnalysis.detectLanguage(t)._1)
+      val scoreBp = udf((t: String) =>
+        math.round(graft.text.TextAnalysis.quality(t).score * 10000).toInt)
+      val known = typedLit(Seq("en", "de", "fr", "es", "und"))
+      docs(s, dir).select(
+          GraftSparkExtensions.bpeish_token_count(col("text")).as("bpe"),
+          GraftSparkExtensions.ws_token_count(col("text")).as("ws"),
+          scoreBp(col("text")).as("score_bp"),
+          lang(col("text")).as("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("bpe") < col("ws"), 1L).otherwise(0L)).as("n_bpe_lt_ws"),
+          sum(when(col("score_bp") < 0 || col("score_bp") > 10000, 1L)
+            .otherwise(0L)).as("n_score_oob"),
+          sum(when(!array_contains(known, col("lang")), 1L).otherwise(0L))
+            .as("n_lang_unknown"))
+    }),
     // ===== dedup =========================================================
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactDupGroups(docsWithDups(s, dir))),
@@ -820,6 +845,10 @@ object SparkEntry {
           | SELECT text FROM documents
           | UNION ALL SELECT text FROM documents WHERE doc_id % 10 = 0)"""
           .stripMargin.replace("\n", ""),
+      "q_text_invariants" ->
+        """SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(0 AS BIGINT) AS n_bpe_lt_ws,
+          | CAST(0 AS BIGINT) AS n_score_oob, CAST(0 AS BIGINT) AS n_lang_unknown
+          | FROM documents""".stripMargin.replace("\n", ""),
       "q_dedup_exact" ->
         """SELECT md5(text) AS text_hash, count(*) AS cnt FROM (
           | SELECT text FROM documents

@@ -117,9 +117,13 @@ object Embeddings {
     * becomes a partition-pruned probe of nProbe/nCentroids of the data —
     * no full scan per query batch (cf. bruteForceTopK).
     */
-  def ivfTopK(emb: DataFrame, k: Int = 5, nQueries: Int = 10,
-              nCentroids: Int = 16, nProbe: Int = 4,
-              lloydIters: Int = 0): DataFrame = {
+  /** The IVF coarse-quantizer centroids — step 1 of the design described
+    * above [[ivfTopK]], exposed so the inverted file ([[ivfAssignments]])
+    * can be built once, written `partitionBy("cid")`, and reused across
+    * query batches.
+    */
+  def ivfCentroids(emb: DataFrame, nCentroids: Int = 16,
+                   lloydIters: Int = 0): Array[(Int, Array[Float])] = {
     val spark = emb.sparkSession
     import spark.implicits._
 
@@ -158,12 +162,32 @@ object Embeddings {
       centroids = centroids.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
       iter += 1
     }
+    centroids
+  }
 
-    val bcFinal = spark.sparkContext.broadcast(centroids)
+  /** Step 2 of [[ivfTopK]] as a standalone stage: the corpus assigned to
+    * its nearest centroid, one scan against the broadcast centroid
+    * matrix. At production scale, WRITE this `partitionBy("cid")` — the
+    * inverted file becomes the table's partition layout and every probe
+    * is a partition-pruned scan of nProbe/nCentroids of the data
+    * (PlanSpec gates the pruning).
+    */
+  def ivfAssignments(emb: DataFrame,
+                     centroids: Array[(Int, Array[Float])]): DataFrame = {
+    val bc = emb.sparkSession.sparkContext.broadcast(centroids)
     val assign = udf((v: Seq[Float]) => {
       val arr = v.toArray
-      bcFinal.value.maxBy { case (_, c) => Fingerprints.cosine(c, arr) }._1
+      bc.value.maxBy { case (_, c) => Fingerprints.cosine(c, arr) }._1
     })
+    emb.select(col("vec_id"), col("embedding"), assign(col("embedding")).as("cid"))
+  }
+
+  def ivfTopK(emb: DataFrame, k: Int = 5, nQueries: Int = 10,
+              nCentroids: Int = 16, nProbe: Int = 4,
+              lloydIters: Int = 0): DataFrame = {
+    val spark = emb.sparkSession
+    val centroids = ivfCentroids(emb, nCentroids, lloydIters)
+    val bcFinal = spark.sparkContext.broadcast(centroids)
     val probe = udf((v: Seq[Float]) => {
       val arr = v.toArray
       bcFinal.value.map { case (cid, c) => (Fingerprints.cosine(c, arr), cid) }
@@ -171,8 +195,7 @@ object Embeddings {
     })
 
     // 2. inverted file: corpus assigned in place, never shuffled
-    val assigned = emb.select(col("vec_id"), col("embedding"),
-      assign(col("embedding")).as("cid"))
+    val assigned = ivfAssignments(emb, centroids)
     // 3. probe join on the cell id, exact rank within candidates
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").cast("long").as("query_id"),

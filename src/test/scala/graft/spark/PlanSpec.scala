@@ -173,6 +173,28 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("IVF inverted file as partition layout: the probe scan is partition-pruned") {
+    // the 10^12-row design note made checkable: write the assigned corpus
+    // partitionBy(cid); a probe restricted to nProbe cells must reach the
+    // scan as a PartitionFilter (reads nProbe/nCentroids of the files),
+    // not a post-scan Filter over everything
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val centroids = Embeddings.ivfCentroids(emb, nCentroids = 8)
+    val dir = tmpDir("ivf-layout")
+    Embeddings.ivfAssignments(emb, centroids)
+      .write.partitionBy("cid").parquet(s"$dir/inverted")
+    val table = spark.read.parquet(s"$dir/inverted")
+    val probed = table.filter(col("cid").isin(1, 3))
+    val scan = probed.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("FileScan")).getOrElse("")
+    assert(scan.contains("PartitionFilters") && scan.contains("cid"),
+      s"probe must prune on the cid partition column:\n$scan")
+    // and the pruning is real: only the probed cells' rows are read
+    val want = Embeddings.ivfAssignments(emb, centroids)
+      .filter(col("cid").isin(1, 3)).count()
+    assert(probed.count() == want && want > 0)
+  }
+
   test("extraction UDF plan stays a single projection over the scan (no extra shuffle)") {
     val df = spark.read.parquet(turnsParquet)
     val q = df.select(col("conv_id"), col("turn_idx"),
