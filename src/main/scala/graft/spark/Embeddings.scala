@@ -273,9 +273,13 @@ object Embeddings {
   def cosineNearDupPairs(emb: DataFrame, threshold: Double = 0.95,
                          nbits: Int = 8,
                          maxBucketSize: Int = Dedup.DefaultMaxBucketSize): DataFrame = {
+    // cached: the self-join consumes this subtree twice, and without the
+    // materialization Spark recomputes canonicalization + bucket-count
+    // window for each side (same reason Dedup.nearDupPairs caches sigs)
     val bucketed = sizedBuckets(emb, nbits)
       .filter(col("bucket_n") <= maxBucketSize)
       .drop("bucket_n")
+      .cache()
     bucketed.as("l").join(bucketed.as("r"),
         col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"),
