@@ -240,5 +240,6 @@ object HtmlFunctions {
     spark.udf.register("reset_nonpair", reset_nonpair)
     spark.udf.register("replace_tag", replace_tag)
     spark.udf.register("extract_main", extract_main)
+    spark.udf.register("spans_view", spans_view)
   }
 }

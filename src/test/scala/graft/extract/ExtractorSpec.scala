@@ -58,4 +58,44 @@ class ExtractorSpec extends AnyFunSuite {
     val b = Extractor.extract(page)
     assert(a == b)
   }
+
+  test("random-soup fuzz: never throws; spans in-bounds, ordered, text-node-clean") {
+    // the pipeline feeds the extractor arbitrary crawl bytes at scale —
+    // the span contract must survive soup, not just well-formed pages
+    import org.scalacheck.{Gen, rng}
+    val soupChar: Gen[Char] = Gen.frequency(
+      (8, Gen.alphaNumChar),
+      (4, Gen.oneOf('<', '>', '/', '=', ' ')),
+      (2, Gen.oneOf('\'', '"', '-', '!', '.')),
+      (1, Gen.oneOf('\n', '\t', '&', ';')))
+    val tagNames = Seq("div", "p", "a", "nav", "pre", "h1", "br", "script")
+    val soup: Gen[String] = Gen.listOfN(40, Gen.frequency(
+      (3, Gen.listOfN(12, soupChar).map(_.mkString)),
+      (3, Gen.oneOf(tagNames).map(t => s"<$t>")),
+      (3, Gen.oneOf(tagNames).map(t => s"</$t>")),
+      (1, Gen.const("<!-- c -->")))).map(_.mkString)
+    val cases = (0 until 500).flatMap(i =>
+      soup(Gen.Parameters.default.withSize(200), rng.Seed(0xFACE + i)))
+    cases.foreach { s =>
+      val r = Extractor.extract(s)
+      assert(r == Extractor.extract(s), s"nondeterministic on: $s")
+      var prevEnd = -1
+      r.spans.foreach { sp =>
+        assert(sp.start >= 0 && sp.start < sp.end && sp.end <= s.length, s"bounds on: $s")
+        // spans are emitted in document order and never overlap (each
+        // covers a distinct text node)
+        assert(sp.start >= prevEnd, s"overlap/disorder on: $s")
+        prevEnd = sp.end
+        val sub = s.substring(sp.start, sp.end)
+        // a span covers a text-CLASSIFIED token. Its raw may legally
+        // contain '<' (the lenient lexer emits unclosed-tag buffers as
+        // text), but it must never itself classify as a tag, and it must
+        // carry visible content (blank text nodes are skipped)
+        assert(!graft.parser.HtmlNode.fromRaw(sub).isTag, s"tag-classified span on: $s")
+        assert(graft.parser.Ascii.strip(sub).nonEmpty, s"blank span on: $s")
+      }
+      // every kept block's text is reconstructible from the source spans
+      if (r.spans.nonEmpty) assert(r.text.nonEmpty)
+    }
+  }
 }

@@ -33,6 +33,17 @@ class SqlSurfaceSpec extends SparkTestBase {
     assert(row.getAs[Int]("n_nodes") == 7) // 6 tokens + container
   }
 
+  test("spans_view: packed span columns unpack from SQL") {
+    HtmlFunctions.register(spark)
+    val packed = SpanCodec.packPos(3, 8)
+    Seq((Array(packed), Array(SpanCodec.kindByte("text"))))
+      .toDF("span_pos", "span_kind").createOrReplaceTempView("ex")
+    val row = spark.sql(
+      "SELECT inline(spans_view(span_pos, span_kind)) FROM ex").head
+    assert(row.getAs[Int]("start") == 3 && row.getAs[Int]("end") == 8 &&
+      row.getAs[String]("kind") == "text")
+  }
+
   test("find_nodes: generic find(tag, params) from SQL, arena ids + DFS order") {
     HtmlFunctions.register(spark)
     Seq(("c1", 0,
