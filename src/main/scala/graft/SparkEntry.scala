@@ -417,6 +417,23 @@ object SparkEntry {
       Embeddings.bruteForceTopK(emb(s, dir), k = 5, nQueries = 10)),
     "q_embed_ann" -> ((s, dir) =>
       Embeddings.annTopK(emb(s, dir), k = 5, nQueries = 10, nbits = 4)),
+    // exact partial oracle for the ANN path (scaled-sibling trick): the
+    // x2 sibling shares its original's bucket BY CONSTRUCTION and has
+    // cosine ~1.0 vs <= ~0.52 for any natural pair, so every query's
+    // rank-1 neighbor must be exactly its sibling
+    "q_embed_ann_sibling" -> ((s, dir) =>
+      Embeddings.annTopK(Embeddings.withScaledSiblings(emb(s, dir)),
+          k = 5, nQueries = 10, nbits = 4)
+        .filter(col("rank") === 1)
+        .select(col("query_id"), col("neighbor_id"))),
+    // same oracle for the IVF path: cosine's argmax centroid is
+    // scale-invariant, so the sibling lands in its original's cell and
+    // the query's own-cell probe must return it at rank 1
+    "q_embed_ivf_sibling" -> ((s, dir) =>
+      Embeddings.ivfTopK(Embeddings.withScaledSiblings(emb(s, dir)),
+          k = 5, nQueries = 10, nCentroids = 8, nProbe = 4)
+        .filter(col("rank") === 1)
+        .select(col("query_id"), col("neighbor_id"))),
     // IVF coarse-quantizer path with an EXACT oracle: probing every cell
     // makes the candidate set the whole corpus, so the result must equal
     // brute-force top-k — which the synthetic-data oracle below predicts
@@ -879,6 +896,14 @@ object SparkEntry {
       // rounding — and ties break on neighbor_id in both engines.
       "q_embed_topk" -> EmbedTopkOracleSql,
       "q_embed_ivf_full" -> EmbedTopkOracleSql,
+      "q_embed_ann_sibling" ->
+        """SELECT CAST(vec_id AS BIGINT) AS query_id,
+          | CAST(vec_id + 1000000 AS BIGINT) AS neighbor_id
+          | FROM embeddings WHERE vec_id < 10""".stripMargin.replace("\n", ""),
+      "q_embed_ivf_sibling" ->
+        """SELECT CAST(vec_id AS BIGINT) AS query_id,
+          | CAST(vec_id + 1000000 AS BIGINT) AS neighbor_id
+          | FROM embeddings WHERE vec_id < 10""".stripMargin.replace("\n", ""),
       "q_media_features" ->
         "SELECT doc_id, 18 AS n_dims FROM documents",
       "q_frame_sample" ->
