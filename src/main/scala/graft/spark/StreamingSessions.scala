@@ -83,6 +83,90 @@ object StreamingSessions {
     countOutput(spark, outDir) - before
   }
 
+  /** One buffered event awaiting watermark finalization. */
+  final case class BufEvent(tsUs: Long, eventId: Long)
+
+  /** State for the watermark-buffered sessionizer: events not yet final,
+    * the gap-fold cursor over emitted events, and the emission frontier
+    * (last emitted ts — strictly-older arrivals are watermark-late and
+    * dropped, the standard contract).
+    */
+  final case class BufSessState(buf: List[BufEvent], lastTsUs: Long,
+                                idx: Long, nLateDropped: Long)
+
+  private def assignBuffered(gapMinutes: Int)(
+      userId: Long, events: Iterator[Event],
+      state: GroupState[BufSessState]): Iterator[SessionAssign] = {
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val wmUs = state.getCurrentWatermarkMs() * 1000L
+    var st = state.getOption.getOrElse(BufSessState(Nil, Long.MinValue, 0L, 0L))
+    // merge new events; an arrival strictly older than the emitted
+    // frontier is late beyond the watermark (emitting it would fold the
+    // gap cursor backwards) — dropped and counted. Equal-ts arrivals are
+    // safe: a zero gap can never open a session boundary.
+    val (fresh, late) = events
+      .map(e => BufEvent(micros(e.ts), e.event_id)).toArray
+      .partition(e => st.lastTsUs == Long.MinValue || e.tsUs >= st.lastTsUs)
+    val all = (st.buf ++ fresh).sortBy(e => (e.tsUs, e.eventId))
+    // events at-or-below the watermark are FINAL: no future batch may
+    // carry anything older, so the gap fold over them is exact
+    val (ripe, hold) = all.partition(_.tsUs <= wmUs)
+    var lastTs = st.lastTsUs
+    var idx = st.idx
+    val out = ripe.map { e =>
+      if (lastTs == Long.MinValue || e.tsUs - lastTs > gapUs) idx += 1
+      lastTs = e.tsUs
+      SessionAssign(e.eventId, userId, idx)
+    }
+    state.update(BufSessState(hold, lastTs, idx, st.nLateDropped + late.size))
+    // flush held events in a later batch once the watermark passes the
+    // oldest of them, even if this user receives no further input
+    // (+1 ms: the timeout must sit strictly above the current watermark)
+    hold.headOption.foreach(h =>
+      state.setTimeoutTimestamp(math.max(h.tsUs / 1000L, wmUs / 1000L + 1L)))
+    out.iterator
+  }
+
+  /** Event-time-CORRECT stateful sessionization: unlike
+    * [[runAvailableNow]] (whose per-batch fold is exact only when
+    * batches arrive in time order), this variant buffers events in state
+    * and folds them through the gap logic only once the event-time
+    * watermark passes them — batches may split and interleave a user's
+    * events arbitrarily (out-of-order files, maxFilesPerTrigger=1) and
+    * the emitted assignments still equal the batch operator exactly.
+    * Events above the final watermark stay buffered for the next run;
+    * arrivals older than the watermark-emitted frontier are dropped and
+    * counted in state (the standard watermark contract).
+    */
+  def runAvailableNowBuffered(spark: SparkSession, inputPath: String,
+                              outDir: String, gapMinutes: Int = 30,
+                              watermarkDelay: String = "1 hour",
+                              maxFilesPerTrigger: Option[Int] = None): Long = {
+    import spark.implicits._
+    val before = countOutput(spark, outDir)
+
+    var reader = spark.readStream.schema(eventSchema)
+    maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n))
+    val assigned: Dataset[SessionAssign] = reader
+      .parquet(inputPath)
+      .withWatermark("ts", watermarkDelay)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        assignBuffered(gapMinutes))
+
+    val q = assigned.writeStream
+      .format("parquet")
+      .option("path", s"$outDir/sessions")
+      .option("checkpointLocation", s"$outDir/_stream_checkpoint")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    countOutput(spark, outDir) - before
+  }
+
   def countOutput(spark: SparkSession, outDir: String): Long = {
     val p = new org.apache.hadoop.fs.Path(s"$outDir/sessions")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -99,4 +99,64 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
     streamed.foreach { case (k, n) => assert(batch(k) == n, s"window $k") }
   }
+
+  test("watermark-buffered sessionize: exact under OUT-OF-ORDER multi-batch arrival") {
+    val dir = tmpDir("graft-bufsess")
+    val in = s"$dir/in"
+    val out = s"$dir/out"
+    new java.io.File(in).mkdirs()
+    val min = 60L * 1000000L
+    // base offset keeps every event strictly above the INITIAL watermark
+    // (epoch 0): Spark's stateful late-filter drops rows at-or-below the
+    // watermark before the user function ever sees them
+    val base = 240L * 24 * min
+    def ev(id: Long, user: Long, tsUs: Long) =
+      Event(id, new java.sql.Timestamp((base + tsUs) / 1000L), user, "t", 0.0, "")
+
+    // user 1's events deliberately split out of time order across files:
+    // the SECOND file carries OLDER events than the first — the plain
+    // per-batch fold would misnumber these; the buffered operator must not
+    val f1 = Seq(ev(3, 1, 50 * min), ev(4, 1, 55 * min), ev(10, 2, 10 * min))
+    val f2 = Seq(ev(1, 1, 0), ev(2, 1, 10 * min)) // older than f1
+    val f3 = Seq(ev(5, 1, 120 * min), ev(6, 1, 300 * min), ev(11, 2, 200 * min))
+    def land(evs: Seq[Event], mtime: Long): Unit = {
+      val tmp = tmpDir("bufsess-stage")
+      spark.createDataset(evs).toDF().coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(in, s"f$mtime.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(mtime) // file-source processes oldest-first
+    }
+    land(f1, 1000000L); land(f2, 2000000L); land(f3, 3000000L)
+
+    // one-file-per-microbatch: three batches, interleaved event times
+    val n1 = StreamingSessions.runAvailableNowBuffered(spark, in, out,
+      gapMinutes = 30, watermarkDelay = "1 hour", maxFilesPerTrigger = Some(1))
+    // final watermark = 300min - 60min = 240min => events at or below it
+    // emit (user 1: ts 0,10,50,55,120; user 2: 10,200); event 6 (300min)
+    // stays buffered
+    val emitted1 = StreamingSessions.readSessions(spark, out)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(n1 == 7, s"emitted after run 1: $emitted1")
+
+    // a later run's data advances the watermark; the held event flushes
+    // via the event-time timeout and the new one rides the same session
+    // logic
+    land(Seq(ev(7, 1, 1000 * min)), 4000000L)
+    val n2 = StreamingSessions.runAvailableNowBuffered(spark, in, out,
+      gapMinutes = 30, watermarkDelay = "1 hour", maxFilesPerTrigger = Some(1))
+    assert(n2 == 1) // event 6 flushes; 7 itself stays above the watermark
+
+    // everything emitted so far must equal the BATCH operator on the
+    // union — out-of-order batching left no trace
+    val all = f1 ++ f2 ++ f3 ++ Seq(ev(7, 1, 1000 * min))
+    val batchAssign = Events.sessionize(spark.createDataset(all).toDF())
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    val streamedAssign = StreamingSessions.readSessions(spark, out)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(streamedAssign.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L, 10L, 11L))
+    streamedAssign.foreach { case (id, idx) =>
+      assert(batchAssign(id) == idx, s"event $id")
+    }
+  }
 }
