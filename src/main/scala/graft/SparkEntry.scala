@@ -270,6 +270,33 @@ object SparkEntry {
       StreamingSessions.readSessions(s, s"$work/out")
         .select(col("event_id"), col("user_id"), col("session_idx"))
     }),
+    // the WATERMARK-BUFFERED streaming sessionizer, driver-oracled: at
+    // zero delay one run finalizes everything except events above the
+    // ms-truncated watermark (the safe finality boundary); a far-future
+    // SENTINEL user then advances the watermark past max(ts) and the
+    // event-time timeouts flush every real user — the standard
+    // punctuation pattern for draining a bounded replay. The emitted set
+    // (sentinel excluded) must equal the batch operator exactly.
+    "q_stream_sessions_buffered" -> ((s, dir) => {
+      import graft.spark.StreamingSessions
+      val work = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("/tmp"), "graft-stream-b").toString
+      val events = s.read.parquet(s"$dir/events.parquet")
+      events.write.mode("overwrite").parquet(s"$work/in")
+      StreamingSessions.runAvailableNowBuffered(s, s"$work/in", s"$work/out",
+        gapMinutes = 30, watermarkDelay = "0 seconds")
+      events.agg(max(col("ts").cast("timestamp")).as("mx"))
+        .select(lit(-1L).as("event_id"),
+          (col("mx") + expr("INTERVAL 100 DAYS")).as("ts"),
+          lit(-1L).as("user_id"), lit("flush").as("event_type"),
+          lit(0.0).as("value"), lit("").as("props"))
+        .write.mode("append").parquet(s"$work/in")
+      StreamingSessions.runAvailableNowBuffered(s, s"$work/in", s"$work/out",
+        gapMinutes = 30, watermarkDelay = "0 seconds")
+      StreamingSessions.readSessions(s, s"$work/out")
+        .filter(col("user_id") =!= -1L)
+        .select(col("event_id"), col("user_id"), col("session_idx"))
+    }),
     // ===== event-stream ops over events ====================================
     "q_sessionize" -> ((s, dir) =>
       Events.sessionize(s.read.parquet(s"$dir/events.parquet"), gapMinutes = 30)),
@@ -806,6 +833,15 @@ object SparkEntry {
       "q_cosine_neardup" ->
         """SELECT CAST(vec_id AS BIGINT) AS a, CAST(vec_id + 1000000 AS BIGINT) AS b
           | FROM embeddings""".stripMargin.replace("\n", ""),
+      "q_stream_sessions_buffered" ->
+        """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+          | lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+          | FROM events)
+          |SELECT event_id, user_id,
+          | CAST(sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+          |   OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+          |   AS session_idx
+          |FROM e""".stripMargin.replace("\n", " "),
       "q_stream_sessions" ->
         """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
           | lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
