@@ -439,6 +439,23 @@ object SparkEntry {
     }),
     "q_fingerprints" -> ((s, dir) =>
       Dedup.fingerprintTable(docs(s, dir))),
+    // partial oracle for the native winnowing Generator (same pattern as
+    // q_simhash_consistency): byte-identical texts must produce the
+    // identical fingerprint sequence wherever they execute — doc copies
+    // under shifted ids land on different partitions, and their
+    // order-sensitive fingerprint-sequence hashes must still agree
+    "q_fingerprint_consistency" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val dup = d.unionByName(d.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        col("text")))
+      Dedup.fingerprintTable(dup)
+        .groupBy(col("doc_id"))
+        .agg(xxhash64(array_sort(collect_list(col("fingerprint")))).as("sig"))
+        .groupBy(pmod(col("doc_id"), lit(1000000L)).as("base_id"))
+        .agg(countDistinct(col("sig")).as("n_sig"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_sig") > 1, 1L).otherwise(0L)).as("n_inconsistent"))
+    }),
     // ===== similarity search over embeddings ==============================
     "q_embed_topk" -> ((s, dir) =>
       Embeddings.bruteForceTopK(emb(s, dir), k = 5, nQueries = 10)),
@@ -892,6 +909,10 @@ object SparkEntry {
       "q_neardup_siblings" ->
         """SELECT CAST(doc_id AS BIGINT) AS a, CAST(doc_id + 1000000 AS BIGINT) AS b
           | FROM documents""".stripMargin.replace("\n", ""),
+      "q_fingerprint_consistency" ->
+        """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          | CAST(0 AS BIGINT) AS n_inconsistent FROM documents"""
+          .stripMargin.replace("\n", ""),
       "q_simhash_consistency" ->
         """SELECT CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_groups,
           | CAST(0 AS BIGINT) AS n_inconsistent FROM (
