@@ -509,7 +509,15 @@ object SparkEntry {
         .select(col("doc_id"), size(col("features")).as("n_dims"))),
     "q_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(Multimodal.syntheticMedia(docs(s, dir)))
-        .select(col("doc_id"), col("frame_idx")))
+        .select(col("doc_id"), col("frame_idx"))),
+    // resize: the SQL-checkable contract half — output metadata carries
+    // the target dims and the payload is exactly outW*outH bytes per row
+    // (pixel mapping pinned by MultimodalSpec)
+    "q_media_resize" -> ((s, dir) =>
+      Multimodal.resize(Multimodal.syntheticMedia(docs(s, dir)), outW = 8, outH = 8)
+        .select(col("doc_id"), col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          octet_length(col("media")).as("n_bytes")))
   )
 
   // ===== per-variant oracle constants ======================================
@@ -966,7 +974,10 @@ object SparkEntry {
       "q_frame_sample" ->
         """SELECT doc_id, f AS frame_idx FROM documents
           | CROSS JOIN (VALUES (0),(2),(4),(6)) AS v(f)
-          | WHERE f < length(text) % 7 + 1""".stripMargin.replace("\n", "")
+          | WHERE f < length(text) % 7 + 1""".stripMargin.replace("\n", ""),
+      "q_media_resize" ->
+        """SELECT doc_id, 8 AS width, 8 AS height, CAST(64 AS INT) AS n_bytes
+          | FROM documents""".stripMargin.replace("\n", "")
     )
   }
 }

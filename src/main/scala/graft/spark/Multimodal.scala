@@ -79,6 +79,44 @@ object Multimodal {
       .toDF("doc_id", "features")
   }
 
+  /** Nearest-neighbor resize to (outW, outH): stub-decode the payload,
+    * sample the source grid, re-quantize to one byte per output pixel.
+    * Batched partition pass, shuffle-free; output metadata carries the
+    * new dimensions and the payload is exactly outW*outH bytes (the
+    * SQL-checkable part of the contract — the pixel mapping itself is
+    * pinned by MultimodalSpec). Swap stubDecode for the real codec in
+    * production; the batching/signature/shape stay identical.
+    */
+  def resize(mediaDf: DataFrame, outW: Int = 8, outH: Int = 8): DataFrame = {
+    val spark = mediaDf.sparkSession
+    import spark.implicits._
+    mediaDf
+      .select(col("doc_id"), col("media"),
+        col("meta.width").as("width"), col("meta.height").as("height"))
+      .as[(Long, Array[Byte], Int, Int)]
+      .mapPartitions { it =>
+        val out = new Array[Byte](outW * outH) // reused per row, copied on emit
+        it.map { case (id, media, w, h) =>
+          val px = stubDecode(if (media == null) Array.emptyByteArray else media, w, h)
+          val n = px.length
+          var yo = 0
+          while (yo < outH) {
+            val sy = yo * h / outH
+            var xo = 0
+            while (xo < outW) {
+              val sx = xo * w / outW
+              out(yo * outW + xo) = ((px((sy * w + sx) % n) * 255.0f).toInt & 0xFF).toByte
+              xo += 1
+            }
+            yo += 1
+          }
+          (id, out.clone(),
+            MediaMeta("fake/raw", outW, outH, 1))
+        }
+      }
+      .toDF("doc_id", "media", "meta")
+  }
+
   /** Frame sampling for "video" payloads: split the binary into n_frames
     * equal chunks, emit every `stride`-th as (doc_id, frame_idx, frame).
     * Generator-shaped: one input row -> 0..n output rows via flatMap.
