@@ -112,6 +112,15 @@ object SparkEntry {
       val extracted = Pipeline.extractOnScanPartitions(Transcripts.derive(s, dir))
       Pipeline.conversations(extracted)
     }),
+    // conversationsCapped under a REAL truncation (cap=2): conv_text
+    // holds only the first two turns by turn_idx (the bounded FirstKTurns
+    // aggregator), while n_turns/n_nodes/n_errors keep the TRUE totals —
+    // truncation observable, never silent. Exact DuckDB oracle via
+    // rank-filtered string_agg.
+    "q_conversations_capped" -> ((s, dir) => {
+      val extracted = Pipeline.extractOnScanPartitions(Transcripts.derive(s, dir))
+      Pipeline.conversationsCapped(extracted, maxTurns = 2)
+    }),
     // the one-exchange pipeline (range partition + in-partition sort):
     // same output, same oracle, half the shuffled text bytes
     "q_pipeline_onepass" -> ((s, dir) => {
@@ -765,6 +774,16 @@ object SparkEntry {
            | CAST(sum($ErrDeltaCase) AS BIGINT) AS n_errors,
            | string_agg($extractExpr, chr(10) ORDER BY turn_idx) AS conv_text
            | FROM t GROUP BY conv_id""".stripMargin.replace("\n", ""),
+      "q_conversations_capped" ->
+        s"""$cte, r AS (SELECT conv_id, turn_idx, $extractExpr AS x,
+           | 38 + $NodeDeltaCase AS nn, $ErrDeltaCase AS ne,
+           | row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+           | FROM t)
+           |SELECT conv_id, count(*) AS n_turns,
+           | CAST(sum(nn) AS BIGINT) AS n_nodes,
+           | CAST(sum(ne) AS BIGINT) AS n_errors,
+           | string_agg(CASE WHEN rn <= 2 THEN x END, chr(10) ORDER BY turn_idx) AS conv_text
+           | FROM r GROUP BY conv_id""".stripMargin.replace("\n", ""),
       "q_turn_rn" ->
         s"""$cte SELECT conv_id, turn_idx,
            | CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx DESC) AS INT) AS rn_desc
