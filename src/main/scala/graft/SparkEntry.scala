@@ -318,6 +318,22 @@ object SparkEntry {
     "q_sessionize_skewsafe" -> ((s, dir) =>
       Events.sessionizeSkewSafe(s.read.parquet(s"$dir/events.parquet"),
         gapMinutes = 30, bucketMinutes = 1440)),
+    // the sketch tier: HLL++ distinct-user counts per event type —
+    // map-side partial sketches merge across the exchange (fixed-size
+    // state, the scalable form of distinct counting). The sketch is
+    // genuinely approximate (dense registers + bias correction: 151 vs
+    // 150 at sf0.01), so the driver-checkable claim is its ACCURACY
+    // CONTRACT: the estimate lands within a 5x-rsd envelope of exact
+    "q_sketch_users" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet")
+      Events.distinctUsersSketch(e, rsd = 0.01)
+        .join(e.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("n_exact")), "event_type")
+        .select(col("event_type"),
+          (abs(col("n_users") - col("n_exact")) <=
+            greatest(lit(1L), (col("n_exact") * 0.05).cast("long")))
+            .as("within_bound"))
+    }),
     // ===== text analysis over documents ===================================
     "q_token_count" -> ((s, dir) => {
       val tok = udf((t: String) => graft.text.TextAnalysis.wsTokenCount(t))
@@ -924,6 +940,9 @@ object SparkEntry {
           |SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
           | CAST(max(ts_us) - min(ts_us) AS BIGINT) AS span_us
           |FROM s GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+      "q_sketch_users" ->
+        """SELECT DISTINCT event_type, true AS within_bound FROM events"""
+          .stripMargin.replace("\n", ""),
       "q_token_count" ->
         """SELECT doc_id, CAST(1 + length(text) - length(replace(text, ' ', '')) AS INT)
           | AS n_tokens FROM documents""".stripMargin.replace("\n", ""),

@@ -123,6 +123,20 @@ object Events {
         (col("sess_before") + col("first_flag") + col("local_rank")).as("session_idx"))
   }
 
+  /** Distinct-user sketch per event type — the mergeable-summary pattern
+    * that makes distinct counting scale: each partition builds a
+    * HyperLogLog++ sketch map-side and only the fixed-size sketches
+    * cross the exchange (PlanSpec gates the partial+final split), versus
+    * an exact countDistinct whose shuffle grows with the value count.
+    * (Spark's HLL++ is dense-register with bias correction — measurably
+    * approximate even at tiny cardinalities, e.g. 151 vs 150 — so the
+    * driver oracle checks the ACCURACY CONTRACT |est - exact| within the
+    * rsd envelope rather than equality; see q_sketch_users.)
+    */
+  def distinctUsersSketch(events: DataFrame, rsd: Double = 0.01): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("n_users"))
+
   /** Per-session aggregates: event count and span in microseconds.
     * ONE shuffle total: the groupBy's ClusteredDistribution(user_id,
     * session_idx) is satisfied by the window's HashPartitioning(user_id),

@@ -127,6 +127,15 @@ class PlanSpec extends SparkTestBase {
     assert(!readSchema.contains("props") && !readSchema.contains("event_type"))
   }
 
+  test("distinct-user sketch: partial HLL merges map-side, one exchange of fixed-size state") {
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val plan = Events.distinctUsersSketch(events).queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).length == 1, plan)
+    // partial_approx_count_distinct before the exchange = only sketches
+    // cross the wire (the mergeable-summary property)
+    assert(plan.contains("partial_approx_count_distinct"), plan)
+  }
+
   test("sessionStats: one exchange total — the groupBy reuses the window's partitioning") {
     // the window hash-partitions on user_id; ClusteredDistribution
     // (user_id, session_idx) is satisfied by it, so the per-session
