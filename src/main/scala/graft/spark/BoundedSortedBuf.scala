@@ -17,6 +17,7 @@ object BoundedSortedBuf {
     * the previous stable sortBy semantics).
     */
   def insert[T](buf: Seq[T], e: T, k: Int)(implicit ord: Ordering[T]): Seq[T] = {
+    if (k <= 0) return buf // k<=0 admits nothing (buf.last would throw on empty buf)
     if (buf.length >= k && ord.gteq(e, buf.last)) return buf
     val v: IndexedSeq[T] = buf match {
       case is: IndexedSeq[T] => is

@@ -18,6 +18,7 @@ import org.apache.spark.sql.functions._
   */
 final class TopKBySim(k: Int)
     extends Aggregator[(Long, Double), Seq[(Double, Long)], Seq[Long]] {
+  require(k > 0, s"TopKBySim k must be positive, got $k")
   def zero: Seq[(Double, Long)] = Seq.empty
 
   def reduce(buf: Seq[(Double, Long)], a: (Long, Double)): Seq[(Double, Long)] =

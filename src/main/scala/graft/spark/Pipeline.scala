@@ -9,16 +9,25 @@ import org.apache.spark.util.CollectionAccumulator
 /** The batch extraction pipeline (BASELINE.json north_rule):
   *
   *   transcripts scan -> resume filter (anti-join vs checkpoint) ->
-  *   salted repartition -> mapPartitions batch extraction with reusable
-  *   parser state -> per-conversation reassembly -> extracted / metrics /
+  *   extraction -> per-conversation reassembly -> extracted / metrics /
   *   lineage sinks.
   *
+  * The default shape is EXTRACT-FIRST: extraction runs on the
+  * byte-balanced scan partitions and the single exchange moves only the
+  * extracted text — measured fastest and the only shape clearing the
+  * >=0.8 two-level scaling bar at 4-core executors (BENCH/BASELINE.md).
+  * The salted shape below is kept as the skew-contrast reference.
+  *
   * Scale design (local[32] here, 1000-executor mental model):
-  *  - **Salting / skew**: extraction is per-turn independent, so we
+  *  - **Salting / skew** (salted shape): extraction is per-turn
+  *    independent, so we
   *    hash-repartition on (conv_id, turn_idx) — a conversation with 10^6
   *    turns spreads over all executors instead of pinning one. This *is*
   *    the salt (turn_idx is the salt key); ordering is restored later by
   *    the reassembly shuffle, which groups back on conv_id alone.
+  *    The extract-first shape needs no salt at all: file-source splits
+  *    are byte-balanced by maxPartitionBytes and the oversize guard
+  *    bounds per-turn cost.
   *  - **Oversize guard**: texts beyond `maxTextChars` are not parsed
   *    (the reference tree-builder is O(n^2) worst-case); they are counted
   *    in metrics and emitted with empty extraction — never silently
@@ -42,6 +51,7 @@ object Pipeline {
   final class FirstKTurns(k: Int)
       extends org.apache.spark.sql.expressions.Aggregator[
         (Int, String), Seq[(Int, String)], Seq[(Int, String)]] {
+    require(k > 0, s"FirstKTurns cap must be positive, got $k")
     private implicit val byIdx: Ordering[(Int, String)] = Ordering.by(_._1)
     def zero: Seq[(Int, String)] = Seq.empty
     def reduce(buf: Seq[(Int, String)], a: (Int, String)): Seq[(Int, String)] =
@@ -74,14 +84,17 @@ object Pipeline {
                           // (Q16 intent; diverges from the reference
                           // oracle — default stays faithful)
                           repairTagsFixed: Boolean = false,
-                          // "salted" (north_star wording: explicit salt
-                          // repartition before extraction) or
-                          // "extractfirst" (extraction on scan
-                          // partitions, one exchange of extracted text —
-                          // measured faster AND better-scaling; the
-                          // per-partition wall diagnostics ride the
-                          // salted path only)
-                          shape: String = "salted")
+                          // "extractfirst" (default: extraction on scan
+                          // partitions, ONE exchange of extracted text —
+                          // measured fastest AND the only shape clearing
+                          // the >=0.8 scaling bar at 4-core executors;
+                          // BENCH/BASELINE.md round-3 scaling table) or
+                          // "salted" (explicit salt repartition of RAW
+                          // text before extraction — kept as the
+                          // skew-contrast reference; its raw-text
+                          // shuffle is a measured bandwidth wall at
+                          // scale: 0.471 efficiency vs 0.850)
+                          shape: String = "extractfirst")
 
   /** Core stage: salted repartition + mapPartitions extraction.
     * Input must have (conv_id string, turn_idx int, text string [, src_file]).
@@ -94,13 +107,29 @@ object Pipeline {
     val parts =
       if (cfg.partitions > 0) cfg.partitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    extractMapped(
+      turns
+        .select(col("conv_id"), col("turn_idx"), col("text"))
+        .repartition(parts, col("conv_id"), col("turn_idx")) // salt: turn-level spread
+        .as[(String, Int, String)],
+      cfg, metricsAcc)
+  }
+
+  /** The shared instrumented extraction stage: per-row parse+extract with
+    * the oversize guard, plus optional per-partition wall-time
+    * diagnostics flushed through `metricsAcc` when the partition drains
+    * (diagnostic only — task retries may duplicate entries, so the
+    * ledger never reads the accumulator). Both the salted and the
+    * extract-first shapes plan through here, so diagnostic parity is
+    * structural (VERDICT r3 item 1).
+    */
+  private def extractMapped(rows: Dataset[(String, Int, String)], cfg: Config,
+                            metricsAcc: CollectionAccumulator[PartitionMetrics]): Dataset[ExtractedTurn] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
     val maxChars = cfg.maxTextChars
     val repairFixed = cfg.repairTagsFixed
-
-    turns
-      .select(col("conv_id"), col("turn_idx"), col("text"))
-      .repartition(parts, col("conv_id"), col("turn_idx")) // salt: turn-level spread
-      .as[(String, Int, String)]
+    rows
       .mapPartitions { it =>
         val t0 = System.nanoTime()
         var nTurns = 0L; var nBytes = 0L; var nNodes = 0L
@@ -120,12 +149,13 @@ object Pipeline {
           nNodes += rec.n_nodes; nErrors += rec.n_errors
           rec
         }
+        if (metricsAcc == null) out
         // iterator wrapper so metrics flush after the partition drains
-        new Iterator[ExtractedTurn] {
+        else new Iterator[ExtractedTurn] {
           private var flushed = false // hasNext may legally be called repeatedly after exhaustion
           def hasNext: Boolean = {
             val h = out.hasNext
-            if (!h && !flushed && metricsAcc != null) {
+            if (!h && !flushed) {
               flushed = true
               metricsAcc.add(PartitionMetrics(TaskContext.getPartitionId(),
                 nTurns, nBytes, nNodes, nErrors, nOversize,
@@ -199,24 +229,12 @@ object Pipeline {
     val parts =
       if (cfg.partitions > 0) cfg.partitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val maxChars = cfg.maxTextChars
-    val repairFixed = cfg.repairTagsFixed
-    turns
-      .select(col("conv_id"), col("turn_idx"), col("text"))
-      .repartitionByRange(parts, col("conv_id"), col("turn_idx"))
-      .as[(String, Int, String)]
-      .mapPartitions { it =>
-        it.map { case (conv, idx, text) =>
-          val t = if (text == null) "" else text
-          if (isOversize(t, maxChars))
-            ExtractedTurn(conv, idx, "", Array.emptyLongArray, Array.emptyByteArray, 0, 1)
-          else {
-            val r = Extractor.extract(t, repairFixed)
-            val (pos, kinds) = SpanCodec.pack(r.spans)
-            ExtractedTurn(conv, idx, r.text, pos, kinds, r.nNodes, r.nErrors)
-          }
-        }
-      }
+    extractMapped(
+      turns
+        .select(col("conv_id"), col("turn_idx"), col("text"))
+        .repartitionByRange(parts, col("conv_id"), col("turn_idx"))
+        .as[(String, Int, String)],
+      cfg, metricsAcc = null)
       .sortWithinPartitions(col("conv_id"), col("turn_idx"))
       .as[ExtractedTurn]
   }
@@ -243,27 +261,15 @@ object Pipeline {
     * maxPartitionBytes; the oversize guard bounds per-turn cost). Safe on
     * both batch and STREAMING DataFrames — no repartition, no sort.
     */
-  def extractOnScanPartitions(turns: DataFrame,
-                              cfg: Config = Config()): Dataset[ExtractedTurn] = {
+  def extractOnScanPartitions(turns: DataFrame, cfg: Config = Config(),
+                              metricsAcc: CollectionAccumulator[PartitionMetrics] = null): Dataset[ExtractedTurn] = {
     val spark = turns.sparkSession
     import spark.implicits._
-    val maxChars = cfg.maxTextChars
-    val repairFixed = cfg.repairTagsFixed
-    turns
-      .select(col("conv_id"), col("turn_idx"), col("text"))
-      .as[(String, Int, String)]
-      .mapPartitions { it =>
-        it.map { case (conv, idx, text) =>
-          val t = if (text == null) "" else text
-          if (isOversize(t, maxChars))
-            ExtractedTurn(conv, idx, "", Array.emptyLongArray, Array.emptyByteArray, 0, 1)
-          else {
-            val r = Extractor.extract(t, repairFixed)
-            val (pos, kinds) = SpanCodec.pack(r.spans)
-            ExtractedTurn(conv, idx, r.text, pos, kinds, r.nNodes, r.nErrors)
-          }
-        }
-      }
+    extractMapped(
+      turns
+        .select(col("conv_id"), col("turn_idx"), col("text"))
+        .as[(String, Int, String)],
+      cfg, metricsAcc)
   }
 
   /** Per-turn output in stable (conv_id, turn_idx) order — the shape the
@@ -339,7 +345,7 @@ object Pipeline {
     spark.sparkContext.register(metricsAcc, "graft.partitionMetrics")
 
     val extracted =
-      if (cfg.shape == "extractfirst") extractOnScanPartitions(pending, cfg)
+      if (cfg.shape == "extractfirst") extractOnScanPartitions(pending, cfg, metricsAcc)
       else extractTurns(pending, cfg, metricsAcc)
     val batchDir = s"$outDir/extracted/batch=$batchId"
     reassembled(extracted)

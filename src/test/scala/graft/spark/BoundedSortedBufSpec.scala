@@ -35,4 +35,13 @@ class BoundedSortedBufSpec extends AnyFunSuite {
       BoundedSortedBuf.insert(Seq.empty[Int], 1, 2), 2, 2)
     assert(BoundedSortedBuf.insert(buf, 5, 2) eq buf)
   }
+
+  test("k <= 0 admits nothing and never throws (ADVICE r3)") {
+    assert(BoundedSortedBuf.insert(Seq.empty[Int], 1, 0) == Seq.empty)
+    assert(BoundedSortedBuf.insert(Seq.empty[Int], 1, -3) == Seq.empty)
+    assert(BoundedSortedBuf.mergeSorted(Seq.empty[Int], Seq.empty[Int], 0) == Seq.empty)
+    // and the consuming aggregators fail fast at construction instead
+    intercept[IllegalArgumentException](new Pipeline.FirstKTurns(0))
+    intercept[IllegalArgumentException](new TopKBySim(0))
+  }
 }
