@@ -84,15 +84,29 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"), first(col("sig")).as("sig"))
       .select(col("doc_id"), col("sig"))
 
-  /** Band table with per-bucket population attached (one shuffle on
-    * band_hash — the same key the candidate self-join uses).
+  /** Exploded band table over canonical signatures (one row per
+    * (doc, band)). The band_hash shuffle this feeds is the subtree every
+    * consumer — candidate self-join sides and the oversize-bucket
+    * aggregate — shares via exchange reuse.
     */
-  private def sizedBands(sigs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  private def canonicalBands(sigs: DataFrame): DataFrame =
     sigs.select(col("doc_id"), explode(bandsUdf(col("sig"))).as("band_hash"))
-      .withColumn("bucket_n",
-        count(lit(1)).over(Window.partitionBy(col("band_hash"))))
-  }
+
+  /** Keys of band buckets whose population exceeds the cap — a TINY
+    * relation by construction (each row is a mass-collision cluster), so
+    * the bucket cap is enforced with a broadcast anti-join instead of a
+    * per-bucket count Window: the Window's partitionBy(band_hash) sort
+    * over the FULL band table (twice — once per self-join side above the
+    * reused exchange) was the measured cost of dropping the old .cache(),
+    * and at corpus scale sorting every band row just to read a count is
+    * the wrong plan shape anyway. A hash aggregate + broadcast anti-join
+    * does the same gating sort-free.
+    */
+  private def oversizeBucketKeys(bands: DataFrame, maxBucketSize: Int): DataFrame =
+    bands.groupBy(col("band_hash"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucketSize)
+      .select(col("band_hash"))
 
   /** The dropped-candidate metric for [[nearDupPairs]]: band buckets
     * whose population exceeded the cap, with the pair count each would
@@ -101,10 +115,10 @@ object Dedup {
     */
   def oversizeBuckets(docs: DataFrame,
                       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
-    sizedBands(canonicalSignatures(docs))
-      .filter(col("bucket_n") > maxBucketSize)
+    canonicalBands(canonicalSignatures(docs))
       .groupBy(col("band_hash"))
       .agg(count(lit(1)).as("bucket_n_docs"))
+      .filter(col("bucket_n_docs") > maxBucketSize)
       .select(col("band_hash"), col("bucket_n_docs"),
         (col("bucket_n_docs") * (col("bucket_n_docs") - 1) / 2).as("pairs_dropped"))
 
@@ -112,13 +126,26 @@ object Dedup {
     * with minhash similarity >= simThreshold. Returns (a, b, est_sim),
     * a < b, over canonical docs (exact dups collapse to min doc_id first;
     * recover full groups by composing with [[exactDupGroups]]).
+    *
+    * NO .cache() despite four consumers of the
+    * signature subtree (both self-join sides + two sig-attach joins):
+    * every consumer sits downstream of the canonicalization EXCHANGE
+    * (groupBy text_hash), whose canonical plan is identical across
+    * consumers, so Spark's exchange reuse executes the scan + minhash
+    * UDF once and serves the other consumers from the shuffle files —
+    * the same work-sharing the old cache bought, without pinning blocks
+    * in the block manager for the session lifetime (ADVICE r3: repeated
+    * verify/bench invocations accumulated cached partitions). DedupSpec
+    * gates both the ReusedExchange in the plan and the empty post-query
+    * block manager.
     */
   def nearDupPairs(docs: DataFrame, simThreshold: Double = 0.7,
                    maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    val sigs = canonicalSignatures(docs).cache()
-    val bands = sizedBands(sigs)
-      .filter(col("bucket_n") <= maxBucketSize)
-      .drop("bucket_n")
+    val sigs = canonicalSignatures(docs)
+    val allBands = canonicalBands(sigs)
+    val bands = allBands.join(
+      broadcast(oversizeBucketKeys(allBands, maxBucketSize)),
+      Seq("band_hash"), "left_anti")
     val cand = bands.as("l").join(bands.as("r"),
         col("l.band_hash") === col("r.band_hash") && col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))

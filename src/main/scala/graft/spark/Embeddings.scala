@@ -235,17 +235,16 @@ object Embeddings {
     emb.groupBy(col("embedding")).agg(min(col("vec_id")).as("vec_id"))
       .select(col("vec_id"), col("embedding"))
 
-  /** Canonical vectors bucketed, with per-bucket population attached
-    * (one shuffle on the bucket key — the same key the self-join uses).
+  /** Canonical vectors with their RHP bucket (no population column —
+    * the bucket cap is enforced by [[cosineNearDupPairs]] via a
+    * broadcast anti-join against the tiny oversize-key set, not a
+    * per-bucket count Window; same sort-free design as
+    * Dedup.oversizeBucketKeys).
     */
-  private def sizedBuckets(emb: DataFrame, nbits: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  private def bucketedVecs(emb: DataFrame, nbits: Int): DataFrame =
     canonicalVecs(emb)
       .select(col("vec_id"), col("embedding"),
         bucketUdf(nbits)(col("embedding")).as("bucket"))
-      .withColumn("bucket_n",
-        count(lit(1)).over(Window.partitionBy(col("bucket"))))
-  }
 
   /** Dropped-candidate metric for [[cosineNearDupPairs]]: RHP buckets
     * whose (canonical-vector) population exceeded the cap, with the pair
@@ -254,10 +253,10 @@ object Embeddings {
     */
   def cosineOversizeBuckets(emb: DataFrame, nbits: Int = 8,
                             maxBucketSize: Int = Dedup.DefaultMaxBucketSize): DataFrame =
-    sizedBuckets(emb, nbits)
-      .filter(col("bucket_n") > maxBucketSize)
+    bucketedVecs(emb, nbits)
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("bucket_n_vecs"))
+      .filter(col("bucket_n_vecs") > maxBucketSize)
       .select(col("bucket"), col("bucket_n_vecs"),
         (col("bucket_n_vecs") * (col("bucket_n_vecs") - 1) / 2).as("pairs_dropped"))
 
@@ -274,13 +273,20 @@ object Embeddings {
   def cosineNearDupPairs(emb: DataFrame, threshold: Double = 0.95,
                          nbits: Int = 8,
                          maxBucketSize: Int = Dedup.DefaultMaxBucketSize): DataFrame = {
-    // cached: the self-join consumes this subtree twice, and without the
-    // materialization Spark recomputes canonicalization + bucket-count
-    // window for each side (same reason Dedup.nearDupPairs caches sigs)
-    val bucketed = sizedBuckets(emb, nbits)
-      .filter(col("bucket_n") <= maxBucketSize)
-      .drop("bucket_n")
-      .cache()
+    // NOT cached: both self-join sides sit downstream of the
+    // canonicalization exchange (groupBy embedding), whose canonical
+    // plan is identical on each side — Spark's exchange reuse runs the
+    // canonicalization + bucketing once and serves the second side from
+    // the shuffle files, without pinning cached blocks for the session
+    // lifetime (ADVICE r3; same reasoning as Dedup.nearDupPairs). The
+    // bucket cap is a broadcast anti-join against the tiny oversize-key
+    // set (sort-free; cf. Dedup.oversizeBucketKeys).
+    val vecs = bucketedVecs(emb, nbits)
+    val oversize = vecs.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucketSize)
+      .select(col("bucket"))
+    val bucketed = vecs.join(broadcast(oversize), Seq("bucket"), "left_anti")
     bucketed.as("l").join(bucketed.as("r"),
         col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"),

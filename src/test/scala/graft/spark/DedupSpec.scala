@@ -86,6 +86,26 @@ class DedupSpec extends SparkTestBase {
     assert(capped.count() == 0)
   }
 
+  test("cache hygiene: near-dup queries leave no cached blocks and share work via exchange reuse") {
+    // ADVICE r3: the old .cache() in nearDupPairs/cosineNearDupPairs
+    // pinned blocks for the session lifetime. The work-sharing now comes
+    // from exchange reuse (identical canonical subtrees on both
+    // self-join sides), so after the action the block manager must be
+    // empty and the executed plan must contain ReusedExchange nodes.
+    val nd = Dedup.nearDupPairs(Dedup.withPerturbed(docs), simThreshold = 0.5)
+    nd.collect()
+    val ndPlan = nd.queryExecution.executedPlan.toString
+    assert(ndPlan.contains("isFinalPlan=true"))
+    assert(ndPlan.contains("ReusedExchange"), "signature subtree must be shared")
+    val cd = Embeddings.cosineNearDupPairs(
+      Embeddings.withScaledSiblings(emb), threshold = 0.95, nbits = 4)
+    cd.collect()
+    val cdPlan = cd.queryExecution.executedPlan.toString
+    assert(cdPlan.contains("ReusedExchange"), "bucketed subtree must be shared")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "no cached blocks may outlive a near-dup query")
+  }
+
   test("scaled siblings: x2 vector keeps its RHP bucket exactly (scale-invariant sign)") {
     // the invariant q_cosine_neardup's exact oracle rests on: doubling a
     // float vector only shifts exponents, so every hyperplane dot keeps
