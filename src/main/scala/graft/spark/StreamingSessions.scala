@@ -94,7 +94,24 @@ object StreamingSessions {
   final case class BufSessState(buf: List[BufEvent], lastTsUs: Long,
                                 idx: Long, nLateDropped: Long)
 
-  private def assignBuffered(gapMinutes: Int)(
+  /** Default idle-state retention: how long past the watermark an idle
+    * user's numbering state (frontier + session index) survives before
+    * the event-time timeout removes it. Without removal, per-user state
+    * grows without bound over unbounded user populations (ADVICE r3) —
+    * the classic streaming state leak. Removal is safe for session
+    * BOUNDARIES whenever retention >= the session gap: any event
+    * arriving after expiry is at least `retention` past the emitted
+    * frontier (timeout fires only once watermark >= frontier +
+    * retention, and Spark's stateful late-filter drops arrivals below
+    * the watermark), so the batch operator would open a new session for
+    * it anyway. The one observable difference is the session INDEX,
+    * which restarts at 1 for a user returning after expiry — the
+    * standard state-TTL trade-off; size retention to the reprocessing
+    * horizon if stable numbering across long idles matters.
+    */
+  val DefaultIdleRetentionMs: Long = 365L * 24 * 60 * 60 * 1000L
+
+  private def assignBuffered(gapMinutes: Int, idleRetentionMs: Long)(
       userId: Long, events: Iterator[Event],
       state: GroupState[BufSessState]): Iterator[SessionAssign] = {
     val gapUs = gapMinutes.toLong * 60L * 1000000L
@@ -118,12 +135,22 @@ object StreamingSessions {
       lastTs = e.tsUs
       SessionAssign(e.eventId, userId, idx)
     }
-    state.update(BufSessState(hold, lastTs, idx, st.nLateDropped + late.size))
-    // flush held events in a later batch once the watermark passes the
-    // oldest of them, even if this user receives no further input
-    // (+1 ms: the timeout must sit strictly above the current watermark)
-    hold.headOption.foreach(h =>
-      state.setTimeoutTimestamp(math.max(h.tsUs / 1000L, wmUs / 1000L + 1L)))
+    if (hold.nonEmpty) {
+      state.update(BufSessState(hold, lastTs, idx, st.nLateDropped + late.size))
+      // flush held events in a later batch once the watermark passes the
+      // oldest of them, even if this user receives no further input
+      // (+1 ms: the timeout must sit strictly above the current watermark)
+      state.setTimeoutTimestamp(math.max(hold.head.tsUs / 1000L, wmUs / 1000L + 1L))
+    } else if (state.hasTimedOut && out.isEmpty && fresh.isEmpty && late.isEmpty) {
+      // idle-retention expiry: nothing buffered, nothing arriving — drop
+      // the numbering state instead of keeping it forever (ADVICE r3).
+      // Every state always carries a registered timeout, so this branch
+      // is reached for every user eventually once the watermark advances.
+      state.remove()
+    } else {
+      state.update(BufSessState(Nil, lastTs, idx, st.nLateDropped + late.size))
+      state.setTimeoutTimestamp(wmUs / 1000L + math.max(1L, idleRetentionMs))
+    }
     out.iterator
   }
 
@@ -136,13 +163,18 @@ object StreamingSessions {
     * the emitted assignments still equal the batch operator exactly.
     * Events above the final watermark stay buffered for the next run;
     * arrivals older than the watermark-emitted frontier are dropped and
-    * counted in state (the standard watermark contract).
+    * counted in state (the standard watermark contract). Idle users'
+    * numbering state is removed `idleRetentionMs` past the watermark
+    * (see [[DefaultIdleRetentionMs]] for the exact safety contract).
     */
   def runAvailableNowBuffered(spark: SparkSession, inputPath: String,
                               outDir: String, gapMinutes: Int = 30,
                               watermarkDelay: String = "1 hour",
-                              maxFilesPerTrigger: Option[Int] = None): Long = {
+                              maxFilesPerTrigger: Option[Int] = None,
+                              idleRetentionMs: Long = DefaultIdleRetentionMs): Long = {
     import spark.implicits._
+    require(idleRetentionMs >= gapMinutes.toLong * 60L * 1000L,
+      "idle retention below the session gap would split sessions the batch operator keeps whole")
     val before = countOutput(spark, outDir)
 
     var reader = spark.readStream.schema(eventSchema)
@@ -153,7 +185,7 @@ object StreamingSessions {
       .as[Event]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        assignBuffered(gapMinutes))
+        assignBuffered(gapMinutes, idleRetentionMs))
 
     val q = assigned.writeStream
       .format("parquet")

@@ -100,6 +100,47 @@ class StreamingSpec extends SparkTestBase {
     streamed.foreach { case (k, n) => assert(batch(k) == n, s"window $k") }
   }
 
+  test("watermark-buffered sessionize: idle state is removed after retention (ADVICE r3)") {
+    val dir = tmpDir("graft-bufttl")
+    val in = s"$dir/in"
+    val out = s"$dir/out"
+    new java.io.File(in).mkdirs()
+    val min = 60L * 1000000L
+    val base = 240L * 24 * min
+    def ev(id: Long, user: Long, tsUs: Long) =
+      Event(id, new java.sql.Timestamp((base + tsUs) / 1000L), user, "t", 0.0, "")
+    def land(evs: Seq[Event], mtime: Long): Unit = {
+      val tmp = tmpDir("bufttl-stage")
+      spark.createDataset(evs).toDF().coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(in, s"f$mtime.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+    }
+    // user 1 is active early, idle for 610 min (far beyond the 2 h
+    // retention), then returns; user 2 stays hold-active throughout (a
+    // buffered event always defers removal)
+    land(Seq(ev(1, 1, 0), ev(2, 1, 10 * min), ev(10, 2, 10 * min)), 1000000L)
+    land(Seq(ev(11, 2, 300 * min)), 2000000L)
+    land(Seq(ev(12, 2, 600 * min)), 3000000L)
+    land(Seq(ev(3, 1, 620 * min), ev(13, 2, 620 * min)), 4000000L)
+    land(Seq(ev(99, 99, 3000 * min)), 5000000L) // punctuation: drains 620-min holds
+    StreamingSessions.runAvailableNowBuffered(spark, in, out,
+      gapMinutes = 30, watermarkDelay = "0 seconds",
+      maxFilesPerTrigger = Some(1), idleRetentionMs = 2L * 60 * 60 * 1000)
+
+    val assign = StreamingSessions.readSessions(spark, out)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    // user 2's numbering is continuous (state never idle-expired):
+    assert(assign(10L) == 1 && assign(11L) == 2 && assign(12L) == 3 && assign(13L) == 3)
+    // user 1's first session is numbered normally...
+    assert(assign(1L) == 1 && assign(2L) == 1)
+    // ...and the post-expiry return RESTARTS numbering at 1 — the
+    // documented TTL trade-off, and the observable proof that the idle
+    // state was genuinely removed (without removal this would be 2)
+    assert(assign(3L) == 1, s"idle state must be removed after retention: $assign")
+  }
+
   test("watermark-buffered sessionize: exact under OUT-OF-ORDER multi-batch arrival") {
     val dir = tmpDir("graft-bufsess")
     val in = s"$dir/in"
