@@ -20,6 +20,26 @@ object SparkEntry {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Register a whole temp tree for deletion at JVM exit (ADVICE r3:
+    * the streaming queries staged input + sink + checkpoint copies under
+    * /tmp per invocation and never deleted them, so repeated
+    * Verify/Bench runs accumulated copies on disk). Called AFTER the
+    * streams finish, so every file exists; the returned DataFrames still
+    * read the sinks for the rest of this JVM's life, hence exit-time
+    * deletion rather than immediate. Files.walk is pre-order (parents
+    * first) and deleteOnExit deletes in reverse registration order, so
+    * children are deleted before their directories.
+    */
+  private def deleteOnExitTree(root: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(root)
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.iterator().asScala.foreach(_.toFile.deleteOnExit())
+      finally walk.close()
+    }
+  }
+
   /** documents with deterministic exact-dup injection (doc_id%10==0 rows
     * appear twice) — mirrors the oracle's UNION ALL.
     */
@@ -262,6 +282,7 @@ object SparkEntry {
           col("tool"), col("ts"))
         .write.mode("overwrite").parquet(s"$work/in")
       StreamingExtraction.runAvailableNow(s, s"$work/in", s"$work/out")
+      deleteOnExitTree(work)
       StreamingExtraction.readExtracted(s, s"$work/out")
         .select(col("conv_id"), col("turn_idx"), col("extracted_text"))
     }),
@@ -276,6 +297,7 @@ object SparkEntry {
       s.read.parquet(s"$dir/events.parquet")
         .write.mode("overwrite").parquet(s"$work/in")
       StreamingSessions.runAvailableNow(s, s"$work/in", s"$work/out", gapMinutes = 30)
+      deleteOnExitTree(work)
       StreamingSessions.readSessions(s, s"$work/out")
         .select(col("event_id"), col("user_id"), col("session_idx"))
     }),
@@ -302,6 +324,7 @@ object SparkEntry {
         .write.mode("append").parquet(s"$work/in")
       StreamingSessions.runAvailableNowBuffered(s, s"$work/in", s"$work/out",
         gapMinutes = 30, watermarkDelay = "0 seconds")
+      deleteOnExitTree(work)
       StreamingSessions.readSessions(s, s"$work/out")
         .filter(col("user_id") =!= -1L)
         .select(col("event_id"), col("user_id"), col("session_idx"))
@@ -427,14 +450,29 @@ object SparkEntry {
         .select(col("a"), col("b"))),
     // partial oracle for the LSH path (VERDICT r2 item 5): the injected
     // sibling pairs (doc_id, doc_id + 1000000) have word-3-gram Jaccard
-    // n/(n+1) >= 6/7, so at threshold 0.5 EVERY sibling must surface —
-    // predictable in SQL as exactly one row per document. (Requires all
-    // document texts distinct, which holds at the driver's sf: byte-dup
-    // texts would collapse in canonicalization.)
-    "q_neardup_siblings" -> ((s, dir) =>
+    // w-2/(w-1) (w = words per doc), so at threshold 0.5 EVERY sibling
+    // must surface — predictable in SQL as exactly one row per document.
+    // DATA-DEPENDENCE (ADVICE r3): unlike the scaled-sibling bucket
+    // GUARANTEE used by the ANN/IVF/cosine oracles, band recall here is
+    // probabilistic — a pair misses only if all 16 four-row bands
+    // differ, p = (1 - J^4)^16 <= 4.3e-6 per doc at J >= 6/7, ~2e-3
+    // across 500 docs. The guard below derives the preconditions (w >= 8
+    // so J >= 6/7, and all texts distinct so canonicalization collapses
+    // nothing) at the ACTUAL sf, so a future SF/doc-mix change fails
+    // loudly here instead of surfacing as an oracle hash mismatch.
+    "q_neardup_siblings" -> ((s, dir) => {
+      val g = docs(s, dir).agg(
+        min(size(split(col("text"), " "))).as("min_words"),
+        count(lit(1)).as("n"),
+        countDistinct(col("text")).as("n_distinct")).head()
+      require(g.getInt(0) >= 8,
+        s"sibling-recall oracle needs >= 8 words/doc (J >= 6/7); min is ${g.getInt(0)}")
+      require(g.getLong(1) == g.getLong(2),
+        "sibling-recall oracle needs all document texts distinct")
       Dedup.nearDupPairs(Dedup.withPerturbed(docs(s, dir)), simThreshold = 0.5)
         .filter(col("b") === col("a") + lit(1000000L))
-        .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))),
+        .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+    }),
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.exactNgramJaccardPairs(docs(s, dir), threshold = 0.5)),
     // the production tiering: exact n-gram Jaccard verification runs only
