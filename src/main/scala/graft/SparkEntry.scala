@@ -502,6 +502,30 @@ object SparkEntry {
     }),
     "q_fingerprints" -> ((s, dir) =>
       Dedup.fingerprintTable(docs(s, dir))),
+    // the contamination-check composition (VERDICT r3 item 2) — the
+    // flagship consumer of fingerprintTable: corpus fingerprints x a
+    // test set holding planted verbatim copies of every %10 doc
+    // (test_id = doc_id + 5000000) plus clean synthetic docs
+    // (md5-hex text, test_id = doc_id + 6000000) that share no content.
+    // A byte-identical copy reproduces its source's exact winnowing
+    // fingerprint set, so every planted test doc is flagged (full
+    // containment in its source at minimum) and no clean doc ever is —
+    // the contaminated TEST-ID SET is SQL-predictable. (The per-pair
+    // table additionally surfaces natural near-verbatim inclusions the
+    // synthetic corpus contains, e.g. doc 0 ⊂ doc 50 — genuine
+    // containments cross-checked fingerprint-by-fingerprint in
+    // DedupSpec, but not SQL-derivable, so the driver query projects
+    // the real-world deliverable: which test docs must be dropped.)
+    "q_contamination" -> ((s, dir) => {
+      val corpus = docs(s, dir).select(col("doc_id"), col("text"))
+      val planted = corpus.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + lit(5000000L)).as("doc_id"), col("text"))
+      val clean = corpus.select((col("doc_id") + lit(6000000L)).as("doc_id"),
+        concat_ws(" ", md5(col("text")),
+          md5(concat(col("text"), lit("x")))).as("text"))
+      Dedup.contamination(corpus, planted.unionByName(clean))
+        .select(col("test_id").cast("long").as("test_id")).distinct()
+    }),
     // partial oracle for the native winnowing Generator (same pattern as
     // q_simhash_consistency): byte-identical texts must produce the
     // identical fingerprint sequence wherever they execute — doc copies
@@ -993,6 +1017,9 @@ object SparkEntry {
       "q_neardup_siblings" ->
         """SELECT CAST(doc_id AS BIGINT) AS a, CAST(doc_id + 1000000 AS BIGINT) AS b
           | FROM documents""".stripMargin.replace("\n", ""),
+      "q_contamination" ->
+        """SELECT CAST(doc_id + 5000000 AS BIGINT) AS test_id
+          | FROM documents WHERE doc_id % 10 = 0""".stripMargin.replace("\n", ""),
       "q_fingerprint_consistency" ->
         """SELECT CAST(count(*) AS BIGINT) AS n_docs,
           | CAST(0 AS BIGINT) AS n_inconsistent FROM documents"""

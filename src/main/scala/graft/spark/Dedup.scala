@@ -220,4 +220,70 @@ object Dedup {
       graft.spark.catalyst.GraftSparkExtensions
         .winnow_fingerprints(coalesce(col("text"), lit(""))))
   }
+
+  /** Default corpus document-frequency cap for [[contamination]]: a
+    * fingerprint appearing in more corpus docs than this is boilerplate
+    * (license headers, navigation chrome), not evidence of copying, and
+    * its bucket would contribute df × testDocs join rows. Dropped from
+    * BOTH sides, so containment stays well-defined; the drop is
+    * observable via [[contaminationHotFingerprints]].
+    */
+  val DefaultMaxFingerprintDocFreq = 10000
+
+  /** The dropped-fingerprint metric for [[contamination]]: corpus
+    * fingerprints whose document frequency exceeds the cap (never drop
+    * silently — SURVEY "no silent caps").
+    */
+  def contaminationHotFingerprints(corpus: DataFrame,
+                                   maxDocFreq: Int = DefaultMaxFingerprintDocFreq): DataFrame =
+    fingerprintTable(corpus).distinct()
+      .groupBy(col("fingerprint"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") > maxDocFreq)
+
+  /** Contamination check — THE flagship consumer of [[fingerprintTable]]
+    * in a training-data pipeline (SURVEY §2.2b): which test-set
+    * documents appear verbatim inside the training corpus, and in which
+    * corpus document. A test doc is flagged against corpus doc `doc_id`
+    * when EVERY one of its (non-boilerplate) winnowing fingerprints
+    * occurs in that doc — full containment, not any-overlap: natural
+    * corpora share common k-grams, so any-overlap flags everything. A
+    * byte-identical copy has the identical fingerprint set (the
+    * deterministic winnow of the same text), so exact-copy contamination
+    * is flagged with certainty; partial verbatim inclusions share a run
+    * of fingerprints (the Schleimer et al. SIGMOD'03 guarantee: any
+    * match of length >= w+k-1 shares at least one) and surface as high
+    * n_fp short of full containment — relax the filter to a ratio for
+    * that regime. Returns (test_id, doc_id, n_fp).
+    *
+    * Scale shape: corpus fingerprints are built once (at 100 TB, write
+    * them partitioned by fingerprint and reuse across test-set
+    * releases); the candidate join is hash-partitioned on the
+    * fingerprint; fingerprints above `maxDocFreq` corpus docs are
+    * removed from both sides by a broadcast anti-join (the hot-key
+    * defense — one boilerplate gram in 10^8 docs would otherwise emit
+    * 10^8 join rows per test doc containing it). A test doc ALL of
+    * whose fingerprints are boilerplate (n_fp_total == 0) cannot be
+    * flagged — inspect [[contaminationHotFingerprints]] when that
+    * matters.
+    */
+  def contamination(corpus: DataFrame, testSet: DataFrame,
+                    maxDocFreq: Int = DefaultMaxFingerprintDocFreq): DataFrame = {
+    val cfp = fingerprintTable(corpus).distinct()
+    val tfp = fingerprintTable(testSet).distinct()
+      .withColumnRenamed("doc_id", "test_id")
+    val hot = contaminationHotFingerprints(corpus, maxDocFreq)
+      .select(col("fingerprint"))
+    val cKept = cfp.join(broadcast(hot), Seq("fingerprint"), "left_anti")
+    val tKept = tfp.join(broadcast(hot), Seq("fingerprint"), "left_anti")
+    val totals = tKept.groupBy(col("test_id")).agg(count(lit(1)).as("n_fp_total"))
+    // both sides are distinct per (id, fingerprint), so each shared
+    // fingerprint contributes exactly one row per (test_id, doc_id)
+    val matched = tKept.join(cKept, "fingerprint")
+      .groupBy(col("test_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"))
+    matched.join(totals, "test_id")
+      .filter(col("n_fp") === col("n_fp_total"))
+      .select(col("test_id"), col("doc_id"), col("n_fp"))
+  }
 }

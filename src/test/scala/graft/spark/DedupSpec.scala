@@ -86,6 +86,37 @@ class DedupSpec extends SparkTestBase {
     assert(capped.count() == 0)
   }
 
+  test("contamination: planted copies are flagged with their source, clean docs never") {
+    val corpus = docs.select(col("doc_id"), col("text"))
+    val planted = corpus.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + lit(5000000L)).as("doc_id"), col("text"))
+    val clean = corpus.select((col("doc_id") + lit(6000000L)).as("doc_id"),
+      concat_ws(" ", md5(col("text")), md5(concat(col("text"), lit("x")))).as("text"))
+    val out = Dedup.contamination(corpus, planted.unionByName(clean))
+      .as[(Long, Long, Long)].collect()
+    val pairs = out.map(r => (r._1, r._2)).toSet
+    // every planted copy is flagged against its source...
+    val wanted = (0L until 500L by 10).map(id => (id + 5000000L, id)).toSet
+    assert((wanted -- pairs).isEmpty, s"missed planted pairs: ${(wanted -- pairs).take(5)}")
+    // ...and no clean doc is ever flagged
+    assert(pairs.forall(_._1 < 6000000L), s"clean doc flagged: ${pairs.filter(_._1 >= 6000000L)}")
+    assert(out.forall(_._3 > 0))
+    // extra pairs beyond the planted ones must be GENUINE containments
+    // (the synthetic corpus holds natural near-verbatim inclusions):
+    // recheck each against a local winnow of the actual texts
+    val texts = corpus.as[(Long, String)].collect().toMap
+    (pairs -- wanted).foreach { case (t, d) =>
+      val tf = graft.text.Fingerprints.winnow(texts(t - 5000000L)).toSet
+      val df = graft.text.Fingerprints.winnow(texts(d)).toSet
+      assert(tf.nonEmpty && tf.subsetOf(df), s"($t, $d) is not a real containment")
+    }
+
+    // hot-fingerprint cap: with cap 0 every fingerprint is boilerplate,
+    // nothing can be flagged, and the drop is observable - never silent
+    assert(Dedup.contamination(corpus, planted, maxDocFreq = 0).count() == 0)
+    assert(Dedup.contaminationHotFingerprints(corpus, maxDocFreq = 0).count() > 0)
+  }
+
   test("cache hygiene: near-dup queries leave no cached blocks and share work via exchange reuse") {
     // ADVICE r3: the old .cache() in nearDupPairs/cosineNearDupPairs
     // pinned blocks for the session lifetime. The work-sharing now comes
