@@ -579,6 +579,26 @@ object SparkEntry {
     "q_embed_ivf_full" -> ((s, dir) =>
       Embeddings.ivfTopK(emb(s, dir), k = 5, nQueries = 10,
         nCentroids = 8, nProbe = 8)),
+    // ANN recall as a driver-checkable number (VERDICT r3 item 4): both
+    // approximate paths' recall@5 against brute force in one query,
+    // gated at a 0.6 floor. Measured first (graft.tools.RecallCheck):
+    // multi-table ann (nbits=3, 8 tables) 0.90 @ sf0.001 / 0.88 @
+    // sf0.01; ivf (8 centroids, 4 probes) 0.80 / 0.72 — all
+    // deterministic (no RNG anywhere), so the floor guards SF drift,
+    // not run-to-run variance. Single-table nbits=4 measured 0.12-0.22,
+    // which is WHY annTopK grew the classic multi-table recall
+    // amplification this round.
+    "q_ann_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val bf = Embeddings.bruteForceTopK(e, k = 5, nQueries = 10)
+      def row(m: String, approx: DataFrame) =
+        Embeddings.recallAtK(approx, bf)
+          .select(lit(m).as("method"), (col("recall") >= 0.6).as("recall_ok"))
+      row("ann", Embeddings.annTopK(e, k = 5, nQueries = 10, nbits = 3, nTables = 8))
+        .unionByName(
+          row("ivf", Embeddings.ivfTopK(e, k = 5, nQueries = 10,
+            nCentroids = 8, nProbe = 4)))
+    }),
     // embedding-cosine near-dup through the PRODUCTION config (capped
     // RHP buckets, nbits=8) with an exact oracle: injected x2-scaled
     // siblings share their original's bucket deterministically (sign of
@@ -1063,6 +1083,9 @@ object SparkEntry {
       // sf0.01 — two orders of magnitude above float32-vs-float64
       // rounding — and ties break on neighbor_id in both engines.
       "q_embed_topk" -> EmbedTopkOracleSql,
+      "q_ann_recall" ->
+        """SELECT 'ann' AS method, true AS recall_ok
+          | UNION ALL SELECT 'ivf', true""".stripMargin.replace("\n", ""),
       "q_embed_ivf_full" -> EmbedTopkOracleSql,
       "q_embed_ann_sibling" ->
         """SELECT CAST(vec_id AS BIGINT) AS query_id,

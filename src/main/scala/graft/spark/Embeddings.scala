@@ -80,21 +80,47 @@ object Embeddings {
     rankTopK(scored, k)
   }
 
-  /** LSH-bucketed approximate top-k: candidates share the query's
-    * random-hyperplane bucket.
+  /** LSH-bucketed approximate top-k: candidates share one of the
+    * query's random-hyperplane buckets. `nTables` independent plane
+    * sets amplify recall the classic multi-table-LSH way (a true
+    * neighbor is missed only if it parts from the query in EVERY
+    * table); table 0 reproduces the single-table buckets exactly. One
+    * corpus scan regardless of nTables — the (table, bucket) pairs
+    * explode scan-side and the candidate join is keyed on them, so
+    * each table's buckets stay colocated; candidate duplicates across
+    * tables collapse in one distinct before ranking.
     */
   def annTopK(emb: DataFrame, k: Int = 5, nQueries: Int = 10,
-              nbits: Int = 8): DataFrame = {
+              nbits: Int = 8, nTables: Int = 1): DataFrame = {
+    val buckets = udf((v: Seq[Float]) => {
+      val arr = v.toArray
+      (0 until nTables).map(t => Fingerprints.rhpBucket(arr, nbits, t))
+    })
     val bucketed = emb.select(col("vec_id"), col("embedding"),
-      bucketUdf(nbits)(col("embedding")).as("bucket"))
+      posexplode(buckets(col("embedding"))).as(Seq("tbl", "bucket")))
     val queries = bucketed.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").cast("long").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
-    val cand = bucketed.join(broadcast(queries), "bucket")
+      .select(col("vec_id").cast("long").as("query_id"),
+        col("embedding").as("q_emb"), col("tbl"), col("bucket"))
+    val cand = bucketed.join(broadcast(queries), Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").cast("long").as("neighbor_id"),
         cosineUdf(col("q_emb"), col("embedding")).as("sim"))
-    rankTopK(cand, k)
+    // same (query, neighbor) pair from several tables scores the same
+    // deterministic sim — collapse before the bounded rank so top-k
+    // holds k DISTINCT neighbors
+    rankTopK(if (nTables > 1) cand.distinct() else cand, k)
   }
+
+  /** Recall@k of an approximate top-k result against the exact one
+    * (both in (query_id, neighbor_id, rank) shape): one row,
+    * |approx ∩ exact| / |exact|.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame =
+    approx.join(exact.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"))
+      .agg(count(lit(1)).as("n_hit"))
+      .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+      .select((col("n_hit") / col("n_exact")).as("recall"))
 
   /** IVF (inverted-file) approximate top-k — the coarse-quantizer scale
     * path beside the RHP-LSH one:

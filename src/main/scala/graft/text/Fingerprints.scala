@@ -283,22 +283,30 @@ object Fingerprints {
   // measurably wasteful (VERDICT r1 item 10). Values are identical to the
   // on-the-fly formula (same Seeds), so buckets are unchanged.
   private val planeCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]()
 
-  private[text] def rhpPlanes(nbits: Int, dim: Int): Array[Array[Double]] =
-    planeCache.computeIfAbsent((nbits, dim), { _ =>
+  /** Deterministic hyperplanes for table `table`: table 0 reproduces the
+    * pre-multi-table planes bit-for-bit (seed index t*nbits+b == b), so
+    * existing single-table buckets are unchanged; higher tables draw
+    * from disjoint seed ranges — the independent hash tables classic
+    * multi-table LSH needs for recall amplification.
+    */
+  private[text] def rhpPlanes(nbits: Int, dim: Int, table: Int = 0): Array[Array[Double]] =
+    planeCache.computeIfAbsent((nbits, dim, table), { _ =>
       Array.tabulate(nbits, dim) { (b, i) =>
-        // deterministic plane component in [-1,1): mix of (bit, dim)
-        mix64(Seeds(b % Seeds.length) + i).toDouble / Long.MaxValue.toDouble
+        // deterministic plane component in [-1,1): mix of (table, bit, dim)
+        mix64(Seeds((table * nbits + b) % Seeds.length) + i).toDouble / Long.MaxValue.toDouble
       }
     })
 
   /** Random-hyperplane LSH bucket (sign bits of dot products with
     * deterministic pseudo-random planes) for embedding near-dup/ANN
-    * bucketing: `nbits` sign bits packed into a Long.
+    * bucketing: `nbits` sign bits packed into a Long. `table` selects an
+    * independent plane set (multi-table LSH); the default table 0 is
+    * bit-identical to the pre-table behavior.
     */
-  def rhpBucket(v: Array[Float], nbits: Int = 16): Long = {
-    val planes = rhpPlanes(nbits, v.length)
+  def rhpBucket(v: Array[Float], nbits: Int = 16, table: Int = 0): Long = {
+    val planes = rhpPlanes(nbits, v.length, table)
     var out = 0L
     var b = 0
     while (b < nbits) {

@@ -185,6 +185,22 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("multi-table ANN: recall amplifies with tables; top-k stays duplicate-free") {
+    val bf = Embeddings.bruteForceTopK(emb, k = 5, nQueries = 10)
+    def recall(tables: Int) = Embeddings.recallAtK(
+      Embeddings.annTopK(emb, k = 5, nQueries = 10, nbits = 3, nTables = tables), bf)
+      .head().getDouble(0)
+    val r1 = recall(1)
+    val r8 = recall(8)
+    assert(r8 >= r1, s"more tables may only add candidates: $r1 -> $r8")
+    assert(r8 >= 0.6, s"the q_ann_recall floor must hold with margin, got $r8")
+    // a neighbor found by several tables must appear ONCE in the top-k
+    val topk = Embeddings.annTopK(emb, k = 5, nQueries = 10, nbits = 3, nTables = 8)
+      .as[(Long, Long, Int)].collect()
+    val dups = topk.groupBy(t => (t._1, t._2)).filter(_._2.length > 1)
+    assert(dups.isEmpty, s"duplicate neighbors in top-k: ${dups.keys.take(3)}")
+  }
+
   test("IVF top-k: probing every cell reproduces brute force exactly; partial probe recalls most") {
     def byQuery(df: org.apache.spark.sql.DataFrame) =
       df.as[(Long, Long, Int)].collect()
