@@ -140,6 +140,19 @@ object SparkEntry {
     "q_conversations_capped" -> ((s, dir) => {
       val extracted = Pipeline.extractOnScanPartitions(Transcripts.derive(s, dir))
       Pipeline.conversationsCapped(extracted, maxTurns = 2)
+        .select(col("conv_id"), col("n_turns"), col("n_nodes"), col("n_errors"),
+          col("conv_text"))
+    }),
+    // the CHAR-budget cap (VERDICT r3 item 7): maxTurns alone still lets
+    // 10k turns x 1 MB each build a 10 GB reducer row, so FirstKTurns
+    // also bounds total characters — conv_text holds the longest
+    // turn_idx prefix within 100 chars (a real truncation at every sf:
+    // one extracted turn is ~60-120 chars), while n_turns/chars_total
+    // keep TRUE totals and chars_dropped makes the loss observable.
+    // Exact DuckDB oracle via running-sum prefix filter.
+    "q_conversations_bytecapped" -> ((s, dir) => {
+      val extracted = Pipeline.extractOnScanPartitions(Transcripts.derive(s, dir))
+      Pipeline.conversationsCapped(extracted, maxTurns = 1000, maxChars = 100L)
     }),
     // the one-exchange pipeline (range partition + in-partition sort):
     // same output, same oracle, half the shuffled text bytes
@@ -881,6 +894,22 @@ object SparkEntry {
            | CAST(sum(nn) AS BIGINT) AS n_nodes,
            | CAST(sum(ne) AS BIGINT) AS n_errors,
            | string_agg(CASE WHEN rn <= 2 THEN x END, chr(10) ORDER BY turn_idx) AS conv_text
+           | FROM r GROUP BY conv_id""".stripMargin.replace("\n", ""),
+      "q_conversations_bytecapped" ->
+        s"""$cte, r AS (SELECT conv_id, turn_idx, $extractExpr AS x,
+           | 38 + $NodeDeltaCase AS nn, $ErrDeltaCase AS ne,
+           | row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn,
+           | sum(length($extractExpr)) OVER (PARTITION BY conv_id ORDER BY turn_idx
+           |   ROWS UNBOUNDED PRECEDING) AS cum
+           | FROM t)
+           |SELECT conv_id, count(*) AS n_turns,
+           | CAST(sum(nn) AS BIGINT) AS n_nodes,
+           | CAST(sum(ne) AS BIGINT) AS n_errors,
+           | coalesce(string_agg(CASE WHEN rn <= 1000 AND cum <= 100 THEN x END,
+           |   chr(10) ORDER BY turn_idx), '') AS conv_text,
+           | CAST(sum(length(x)) AS BIGINT) AS chars_total,
+           | CAST(sum(length(x)) - coalesce(sum(CASE WHEN rn <= 1000 AND cum <= 100
+           |   THEN length(x) END), 0) AS BIGINT) AS chars_dropped
            | FROM r GROUP BY conv_id""".stripMargin.replace("\n", ""),
       "q_turn_rn" ->
         s"""$cte SELECT conv_id, turn_idx,

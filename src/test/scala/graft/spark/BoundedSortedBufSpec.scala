@@ -36,6 +36,29 @@ class BoundedSortedBufSpec extends AnyFunSuite {
     assert(BoundedSortedBuf.insert(buf, 5, 2) eq buf)
   }
 
+  test("FirstKTurns char budget == sorted-prefix semantics for every arrival order/partitioning") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 300) {
+      val k = 1 + rnd.nextInt(6)
+      val maxChars = 1L + rnd.nextInt(40)
+      val turns = Vector.tabulate(rnd.nextInt(14))(i => (i, "x" * rnd.nextInt(16)))
+      // ground truth: longest idx-ordered prefix within both caps
+      var cum = 0L
+      val want = turns.takeWhile { case (i, s) =>
+        val ok = i < k && cum + s.length <= maxChars; if (ok) cum += s.length; ok
+      }
+      val agg = new Pipeline.FirstKTurns(k, maxChars)
+      // random arrival order, random partitioning, random merge order
+      val shuffled = rnd.shuffle(turns)
+      val nParts = 1 + rnd.nextInt(4)
+      val partials = shuffled.grouped(math.max(1, shuffled.size / nParts + 1))
+        .map(_.foldLeft(agg.zero)(agg.reduce)).toVector
+      val merged = rnd.shuffle(partials).foldLeft(agg.zero)(agg.merge)
+      assert(agg.finish(merged) == want,
+        s"trial=$trial k=$k max=$maxChars turns=${turns.map(_._2.length)}")
+    }
+  }
+
   test("k <= 0 admits nothing and never throws (ADVICE r3)") {
     assert(BoundedSortedBuf.insert(Seq.empty[Int], 1, 0) == Seq.empty)
     assert(BoundedSortedBuf.insert(Seq.empty[Int], 1, -3) == Seq.empty)

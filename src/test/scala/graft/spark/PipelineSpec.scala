@@ -106,6 +106,44 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("char-capped conversations: monster turn bounded, prefix exact, arrival-order independent") {
+    // conv A: a 1 MB monster FIRST turn then small turns — the char
+    // budget must keep the reducer row tiny and drop everything (the
+    // monster alone busts the budget, and prefix semantics never skip
+    // ahead); conv B: small turns, partially kept
+    val small = "<p>small body text</p>" // extracts to "small body text" (15 chars)
+    val monster = "<p>" + ("x" * (1 << 20)) + "</p>"
+    val rows = Seq(
+      Turn("A", 0, "user", monster, "", new java.sql.Timestamp(0)),
+      Turn("A", 1, "user", small, "", new java.sql.Timestamp(0)),
+      Turn("B", 0, "user", small, "", new java.sql.Timestamp(0)),
+      Turn("B", 1, "user", small, "", new java.sql.Timestamp(0)),
+      Turn("B", 2, "user", small, "", new java.sql.Timestamp(0)))
+    // shuffled arrival order: the fold must be order-independent
+    for (seed <- Seq(1, 7)) {
+      val shuffled = new scala.util.Random(seed).shuffle(rows)
+      val ex = Pipeline.extractTurns(spark.createDataset(shuffled).toDF())
+      val out = Pipeline.conversationsCapped(ex, maxTurns = 1000, maxChars = 31L)
+        .collect().map(r => r.getString(0) -> r).toMap
+      // A: monster (2^20 chars) > budget => NOTHING kept, loss observable
+      assert(out("A").getAs[String]("conv_text") == "")
+      assert(out("A").getAs[Long]("n_turns") == 2L)
+      assert(out("A").getAs[Long]("chars_total") == (1L << 20) + 15L)
+      assert(out("A").getAs[Long]("chars_dropped") == (1L << 20) + 15L)
+      // B: 15+15 <= 31 keeps two turns; the third (cum 45+2 joins) drops
+      assert(out("B").getAs[String]("conv_text") == "small body text\nsmall body text")
+      assert(out("B").getAs[Long]("chars_dropped") == 15L)
+      assert(out("B").getAs[Long]("n_turns") == 3L)
+    }
+    // default budget: behavior identical to the count-only cap
+    val ex = Pipeline.extractTurns(spark.createDataset(rows).toDF())
+    val a = Pipeline.conversationsCapped(ex, maxTurns = 2)
+      .select("conv_id", "conv_text").collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(a("B") == "small body text\nsmall body text")
+    assert(Pipeline.conversationsCapped(ex, maxTurns = 1000)
+      .collect().forall(_.getAs[Long]("chars_dropped") == 0L))
+  }
+
   test("reassembled output is sorted by (conv_id, turn_idx) within partitions") {
     val df = spark.createDataset(quirkTurns).toDF()
     val parts = Pipeline.reassembled(Pipeline.extractTurns(df))
