@@ -107,6 +107,28 @@ object Bench {
     val stable = spark.read.parquet(s"$work/transcripts")
     graft.spark.Transcripts.primeCache(spark, sfDir, stable)
 
+    // Bounded heap-ballast warmup (VERDICT r3 item 6) — MEASURED AND
+    // REJECTED as a default, kept env-gated for re-testing: the idea was
+    // to pre-fault the working set untimed on windows where the
+    // hypervisor serves first-touch page faults slowly. Measured round 4
+    // (16 GiB ballast, 90g heap, slow-fault window): the touch cost
+    // 106.8 s and RSS collapsed 19.4 -> ~10 GiB before the first timed
+    // rep — ParallelGC's adaptive shrink RETURNS the pre-faulted pages
+    // to the OS, so the timed reps re-fault them anyway. A live ballast
+    // would pin the pages but steal them from Spark; -Xms doesn't help
+    // (reservation is not touch). Full arrays in BENCH/BASELINE.md.
+    sys.env.get("SPARK_GRAFT_BENCH_BALLAST").filter(_.nonEmpty)
+      .map(_.toInt).filter(_ > 0).foreach { gib =>
+      val t0 = System.nanoTime()
+      val nChunks = gib * 1024 // 1 MiB chunks; new Array zeroes => touches every page
+      var keep = new Array[Array[Byte]](nChunks)
+      var i = 0
+      while (i < nChunks) { keep(i) = new Array[Byte](1 << 20); i += 1 }
+      val touched = keep.length // keep the reference live until here
+      keep = null
+      println(f"[bench] ballast ${touched / 1024} GiB touched in ${(System.nanoTime() - t0) / 1e9}%.1f s, rss=${rssGib}%.1f GiB")
+    }
+
     // JIT warmup: drive the parser/extractor hot paths on a ~5% sample so
     // the first timed query doesn't absorb compilation cost. (limit()
     // would funnel through one task; a hash filter stays parallel.)
