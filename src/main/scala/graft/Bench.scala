@@ -72,9 +72,11 @@ object Bench {
     } catch { case _: Throwable => -1.0 }
 
   /** The headline subset (scan+parse heavy / shuffle heavy / join heavy).
-    * Round 3 appends the skew-safe sessionizer and the HLL sketch —
-    * per-query numbers stay comparable across rounds; the `total` line
-    * covers 18 queries from round 3 on (16 before).
+    * Round 3 appended the skew-safe sessionizer and the HLL sketch;
+    * round 4 appends the contamination fingerprint join and the
+    * char-budgeted conversation cap — per-query numbers stay comparable
+    * across rounds; the `total` line covers 20 queries from round 4 on
+    * (18 in round 3, 16 before).
     */
   val headline: Seq[String] = Seq(
     "q_pipeline_extract", "q_pipeline_onepass", "q_pipeline_extractfirst",
@@ -82,7 +84,7 @@ object Bench {
     "q_conversations", "q_get_content", "q_dedup_exact", "q_ngram_jaccard",
     "q_neardup_pairs", "q_embed_topk", "q_embed_ivf", "q_gen_nodes",
     "q_media_features", "q_token_count", "q_sessionize_skewsafe",
-    "q_sketch_users")
+    "q_sketch_users", "q_contamination", "q_conversations_bytecapped")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -533,9 +533,12 @@ object SparkEntry {
       val corpus = docs(s, dir).select(col("doc_id"), col("text"))
       val planted = corpus.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + lit(5000000L)).as("doc_id"), col("text"))
-      val clean = corpus.select((col("doc_id") + lit(6000000L)).as("doc_id"),
-        concat_ws(" ", md5(col("text")),
-          md5(concat(col("text"), lit("x")))).as("text"))
+      // negative path: a 10% slice suffices (the full corpus md5-ified
+      // tripled the fingerprint join volume for no extra coverage)
+      val clean = corpus.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + lit(6000000L)).as("doc_id"),
+          concat_ws(" ", md5(col("text")),
+            md5(concat(col("text"), lit("x")))).as("text"))
       Dedup.contamination(corpus, planted.unionByName(clean))
         .select(col("test_id").cast("long").as("test_id")).distinct()
     }),
