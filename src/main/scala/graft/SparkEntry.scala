@@ -542,6 +542,24 @@ object SparkEntry {
       Dedup.contamination(corpus, planted.unionByName(clean))
         .select(col("test_id").cast("long").as("test_id")).distinct()
     }),
+    // the PRODUCTION shape of the same check (ROADMAP r4): the corpus
+    // fingerprint index is built ONCE (bucketed on the fingerprint) and
+    // each test-set release probes it — no corpus re-scan, no corpus
+    // winnow, no corpus-side shuffle (DedupSpec plan-gates all three).
+    // Shares q_contamination's exact oracle.
+    "q_contamination_indexed" -> ((s, dir) => {
+      val corpus = docs(s, dir).select(col("doc_id"), col("text"))
+      val planted = corpus.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + lit(5000000L)).as("doc_id"), col("text"))
+      val clean = corpus.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + lit(6000000L)).as("doc_id"),
+          concat_ws(" ", md5(col("text")),
+            md5(concat(col("text"), lit("x")))).as("text"))
+      Dedup.writeFingerprintIndex(corpus, "graft_contam_idx")
+      Dedup.contaminationAgainstIndex(s, "graft_contam_idx",
+          planted.unionByName(clean))
+        .select(col("test_id").cast("long").as("test_id")).distinct()
+    }),
     // partial oracle for the native winnowing Generator (same pattern as
     // q_simhash_consistency): byte-identical texts must produce the
     // identical fingerprint sequence wherever they execute — doc copies
@@ -1070,6 +1088,9 @@ object SparkEntry {
         """SELECT CAST(doc_id AS BIGINT) AS a, CAST(doc_id + 1000000 AS BIGINT) AS b
           | FROM documents""".stripMargin.replace("\n", ""),
       "q_contamination" ->
+        """SELECT CAST(doc_id + 5000000 AS BIGINT) AS test_id
+          | FROM documents WHERE doc_id % 10 = 0""".stripMargin.replace("\n", ""),
+      "q_contamination_indexed" ->
         """SELECT CAST(doc_id + 5000000 AS BIGINT) AS test_id
           | FROM documents WHERE doc_id % 10 = 0""".stripMargin.replace("\n", ""),
       "q_fingerprint_consistency" ->

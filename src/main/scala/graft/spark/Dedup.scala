@@ -268,8 +268,48 @@ object Dedup {
     * matters.
     */
   def contamination(corpus: DataFrame, testSet: DataFrame,
-                    maxDocFreq: Int = DefaultMaxFingerprintDocFreq): DataFrame = {
-    val cfp = fingerprintTable(corpus).distinct()
+                    maxDocFreq: Int = DefaultMaxFingerprintDocFreq): DataFrame =
+    contaminationFrom(fingerprintTable(corpus).distinct(), testSet, maxDocFreq)
+
+  /** Build the PERSISTED corpus fingerprint index — the production shape
+    * of [[contamination]] at 100 TB: winnowing the corpus is by far the
+    * dominant cost and is independent of any test set, so it runs ONCE;
+    * the index is written bucketed on the fingerprint (the key every
+    * contamination join and the doc-freq aggregate use), and each
+    * test-set release probes it with no corpus re-scan, no corpus-side
+    * winnow, and no corpus-side shuffle (the bucketed layout already
+    * satisfies the join/agg clustering — PlanSpec-gated).
+    */
+  def writeFingerprintIndex(corpus: DataFrame, table: String,
+                            nBuckets: Int = 64): Unit = {
+    val spark = corpus.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // a previous session may have left the managed location behind with
+    // no catalog entry in THIS session's metastore — saveAsTable then
+    // refuses with LOCATION_ALREADY_EXISTS, so clear the orphan first
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    fingerprintTable(corpus).distinct()
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, "fingerprint")
+      .sortBy("fingerprint")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Contamination check against a persisted index written by
+    * [[writeFingerprintIndex]] — identical output to [[contamination]]
+    * on the same corpus (DedupSpec-pinned equality).
+    */
+  def contaminationAgainstIndex(spark: SparkSession, indexTable: String,
+                                testSet: DataFrame,
+                                maxDocFreq: Int = DefaultMaxFingerprintDocFreq): DataFrame =
+    contaminationFrom(spark.table(indexTable), testSet, maxDocFreq)
+
+  private def contaminationFrom(cfp: DataFrame, testSet: DataFrame,
+                                maxDocFreq: Int): DataFrame = {
     val tfp = fingerprintTable(testSet).distinct()
       .withColumnRenamed("doc_id", "test_id")
     val dfreq = cfp.groupBy(col("fingerprint"))

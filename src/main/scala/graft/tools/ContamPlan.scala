@@ -12,13 +12,15 @@ object ContamPlan {
     val corpus = spark.read.parquet(s"$sfDir/documents.parquet").select(col("doc_id"), col("text"))
     val planted = corpus.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + lit(5000000L)).as("doc_id"), col("text"))
-    val out = Dedup.contamination(corpus, planted)
+    Dedup.writeFingerprintIndex(corpus, "contam_idx_tool", nBuckets = 8)
+    val out = Dedup.contaminationAgainstIndex(spark, "contam_idx_tool", planted)
     out.collect()
     val p = out.queryExecution.executedPlan.toString
-    println("generates=" + p.linesIterator.count(_.contains("winnow_fingerprints")))
-    println("reused=" + p.linesIterator.count(_.contains("ReusedExchange")))
-    println("exchanges=" + p.linesIterator.count(l => l.contains("Exchange hash") && !l.contains("Reused")))
-    println("aqeShuffleReads=" + p.linesIterator.count(_.contains("AQEShuffleRead")))
-    println(p.linesIterator.filter(l => l.contains("Exchange") || l.contains("Generate") || l.contains("HashAggregate(keys=[fingerprint")).take(40).mkString("\n"))
+    val fin = p.substring(0, math.max(p.indexOf("== Initial Plan =="), 1).max(1) match { case 1 => p.length; case i => i })
+    println("FINAL-ONLY section chars=" + fin.length)
+    println("generates=" + fin.linesIterator.count(_.contains("winnow_fingerprints")))
+    println("bucketedScans=" + fin.linesIterator.count(_.contains("Bucketed: true")))
+    println("exchanges=" + fin.linesIterator.count(l => l.contains("Exchange hash") && !l.contains("Reused")))
+    println(fin.linesIterator.filter(l => l.contains("Exchange") || l.contains("Generate") || l.contains("FileScan") || l.contains("Bucketed")).mkString("\n").take(4000))
   }
 }

@@ -117,6 +117,30 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.contaminationHotFingerprints(corpus, maxDocFreq = 0).count() > 0)
   }
 
+  test("persisted fingerprint index: same answer, zero corpus re-scan, bucketed joins") {
+    val corpus = docs.select(col("doc_id"), col("text"))
+    val planted = corpus.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + lit(5000000L)).as("doc_id"), col("text"))
+    val direct = Dedup.contamination(corpus, planted)
+      .as[(Long, Long, Long)].collect().toSet
+    Dedup.writeFingerprintIndex(corpus, "contam_idx_spec", nBuckets = 8)
+    val viaIndex = Dedup.contaminationAgainstIndex(spark, "contam_idx_spec", planted)
+    viaIndex.collect()
+    assert(viaIndex.as[(Long, Long, Long)].collect().toSet == direct)
+    // the production claim, plan-gated: probing the index winnows ONLY
+    // the test set (the corpus is never re-fingerprinted) and reads the
+    // index through its bucketed layout (no corpus-side exchange)
+    val p = viaIndex.queryExecution.executedPlan.toString
+    val fin = p.indexOf("== Initial Plan ==") match {
+      case -1 => p
+      case i  => p.substring(0, i)
+    }
+    assert(fin.linesIterator.count(_.contains("winnow_fingerprints")) == 1,
+      "only the test set may be winnowed when probing the index")
+    assert(fin.linesIterator.exists(_.contains("Bucketed: true")),
+      "the index must be read through its bucketed layout")
+  }
+
   test("cache hygiene: near-dup queries leave no cached blocks and share work via exchange reuse") {
     // ADVICE r3: the old .cache() in nearDupPairs/cosineNearDupPairs
     // pinned blocks for the session lifetime. The work-sharing now comes
