@@ -1,7 +1,8 @@
 package graft.spark
 
 /** Bounded sorted-buffer primitives shared by the top-k Aggregators
-  * ([[Pipeline.FirstKTurns]], [[Embeddings TopKBySim]]).
+  * ([[TopKBySim]] uses insert+mergeSorted; [[Pipeline.FirstKTurns]]
+  * keeps its own char-budget-aware insert but shares mergeSorted).
   *
   * `insert` costs O(log k) comparisons + one O(k) copy per ACCEPTED row
   * (rows that can't enter a full buffer are rejected in O(1)), replacing
