@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.spark.{Dedup, Embeddings, Events, HtmlFunctions => H, Multimodal, Pipeline, Transcripts}
+import graft.spark.{Chunking, Dedup, Embeddings, Events, HtmlFunctions => H, Multimodal, Packing, Pipeline, Transcripts}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -342,6 +342,21 @@ object SparkEntry {
         .filter(col("user_id") =!= -1L)
         .select(col("event_id"), col("user_id"), col("session_idx"))
     }),
+    // STREAMING exact dedup end-to-end through the sink: the
+    // dup-injected corpus staged as files, one AvailableNow run — the
+    // emitted distinct-hash set must equal batch DISTINCT md5 exactly
+    // (the surviving doc_id per hash is batch-order dependent, so the
+    // deterministic claim is the hash set; a second run emits nothing,
+    // StreamingSpec)
+    "q_stream_dedup" -> ((s, dir) => {
+      import graft.spark.StreamingDedup
+      val work = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("/tmp"), "graft-stream-d").toString
+      docsWithDups(s, dir).write.mode("overwrite").parquet(s"$work/in")
+      StreamingDedup.runAvailableNow(s, s"$work/in", s"$work/out")
+      deleteOnExitTree(work)
+      StreamingDedup.readUnique(s, s"$work/out").select(col("text_hash"))
+    }),
     // ===== event-stream ops over events ====================================
     "q_sessionize" -> ((s, dir) =>
       Events.sessionize(s.read.parquet(s"$dir/events.parquet"), gapMinutes = 30)),
@@ -392,6 +407,27 @@ object SparkEntry {
       GraftSparkExtensions.register(s)
       docs(s, dir).select(col("doc_id"),
         GraftSparkExtensions.bpeish_token_count(col("text")).as("n_subwords"))
+    }),
+    // training-sequence chunking (round 4): fixed token windows with
+    // overlap over each document — pure built-in projection (split /
+    // sequence / posexplode / slice), shuffle-free (ChunkingSpec gates
+    // the plan). maxTokens=16, overlap=4 gives 1-8 chunks per doc at
+    // every driver SF (docs run 10-99 words). Exact DuckDB oracle via
+    // list slicing over the same start arithmetic.
+    "q_chunked" -> ((s, dir) =>
+      Chunking.chunk(docs(s, dir), maxTokens = 16, overlap = 4)),
+    // next-fit sequence packing over the chunk stream (round 4): the
+    // general operator shards by doc-hash (PackingSpec pins the
+    // cross-doc fold + one-exchange plan); the driver query shards BY
+    // DOC so the exact DuckDB oracle's recursive walk stays <= 9 deep
+    // (docs have <= 8 chunks at 16/4 chunking). Capacity 24 exercises
+    // real variety: 16-token bodies go one per sequence, tails <= 8
+    // join the preceding sequence.
+    "q_packed" -> ((s, dir) => {
+      val chunks = Chunking.chunk(docs(s, dir), maxTokens = 16, overlap = 4)
+      Packing.packNextFit(chunks, capacity = 24, shard = col("doc_id"))
+        .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+          col("seq_idx"), col("seq_pos"))
     }),
     "q_langid" -> ((s, dir) => {
       val lang = udf((t: String) => graft.text.TextAnalysis.detectLanguage(t)._1)
@@ -1075,6 +1111,41 @@ object SparkEntry {
       "q_sketch_users" ->
         """SELECT DISTINCT event_type, true AS within_bound FROM events"""
           .stripMargin.replace("\n", ""),
+      // chunk starts at multiples of step=12 below max(1, n_words-4);
+      // DuckDB list slicing is 1-based inclusive, matching Spark's
+      // slice(words, start+1, maxTokens) elementwise
+      "q_chunked" ->
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |c AS (SELECT doc_id, ws,
+          |  CAST(ceil(greatest(len(ws) - 4, 1) / 12.0) AS INT) AS nch FROM w)
+          |SELECT doc_id, CAST(s.i AS INT) AS chunk_idx,
+          |  array_to_string(ws[s.i*12+1 : s.i*12+16], ' ') AS chunk_text,
+          |  CAST(least(len(ws) - s.i*12, 16) AS INT) AS n_tokens
+          |FROM c JOIN generate_series(0, 63) AS s(i) ON s.i < c.nch"""
+          .stripMargin.replace("\n", " "),
+      // the next-fit walk replayed exactly as a recursive CTE: the
+      // anchor is each doc's chunk 0, each step folds chunk i+1 through
+      // the same (fill + tok > 24 => new sequence) rule
+      "q_packed" ->
+        """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |c AS (SELECT doc_id, CAST(ceil(greatest(len(ws) - 4, 1) / 12.0) AS INT) AS nch,
+          |  len(ws) AS n FROM w),
+          |ch AS (SELECT doc_id, CAST(s.i AS INT) AS chunk_idx,
+          |  CAST(least(n - s.i*12, 16) AS INT) AS tok
+          |  FROM c JOIN generate_series(0, 63) AS s(i) ON s.i < c.nch),
+          |walk AS (
+          |  SELECT doc_id, chunk_idx, tok, CAST(0 AS BIGINT) AS seq_idx,
+          |    0 AS seq_pos, tok AS cum
+          |  FROM ch WHERE chunk_idx = 0
+          |  UNION ALL
+          |  SELECT ch.doc_id, ch.chunk_idx, ch.tok,
+          |    CASE WHEN walk.cum + ch.tok > 24 THEN walk.seq_idx + 1 ELSE walk.seq_idx END,
+          |    CASE WHEN walk.cum + ch.tok > 24 THEN 0 ELSE walk.seq_pos + 1 END,
+          |    CASE WHEN walk.cum + ch.tok > 24 THEN ch.tok ELSE walk.cum + ch.tok END
+          |  FROM walk JOIN ch ON ch.doc_id = walk.doc_id AND ch.chunk_idx = walk.chunk_idx + 1)
+          |SELECT doc_id, chunk_idx, tok AS n_tokens, seq_idx,
+          |  CAST(seq_pos AS INT) AS seq_pos FROM walk"""
+          .stripMargin.replace("\n", " "),
       "q_token_count" ->
         """SELECT doc_id, CAST(1 + length(text) - length(replace(text, ' ', '')) AS INT)
           | AS n_tokens FROM documents""".stripMargin.replace("\n", ""),
@@ -1107,6 +1178,8 @@ object SparkEntry {
         """SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(0 AS BIGINT) AS n_bpe_lt_ws,
           | CAST(0 AS BIGINT) AS n_score_oob, CAST(0 AS BIGINT) AS n_lang_unknown
           | FROM documents""".stripMargin.replace("\n", ""),
+      "q_stream_dedup" ->
+        "SELECT DISTINCT md5(text) AS text_hash FROM documents",
       "q_dedup_exact" ->
         """SELECT md5(text) AS text_hash, count(*) AS cnt FROM (
           | SELECT text FROM documents

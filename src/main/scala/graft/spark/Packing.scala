@@ -1,0 +1,69 @@
+package graft.spark
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for training-data preparation: assign chunks (in
+  * deterministic (doc_id, chunk_idx) order) to fixed-capacity training
+  * sequences, NEXT-FIT per shard — the op that turns chunked documents
+  * into model-ready context windows.
+  *
+  * Scale shape: packing is inherently sequential, so the corpus is cut
+  * into independent shards (default: hash of doc_id — every doc's
+  * chunks stay together) and the fold runs per shard via the classic
+  * secondary-sort pattern: ONE exchange on the shard key, an
+  * in-partition sort on (shard, doc_id, chunk_idx), then a constant-
+  * memory mapPartitions walk that detects shard boundaries in-stream.
+  * No state beyond the running (sequence, position, fill) triple ever
+  * exists, so a shard of any size packs in one pass; shard count
+  * bounds the sequential grain exactly like IVF cells bound probe
+  * cost. Next-fit is the standard packing compromise: one pass, at
+  * most one open bin, >= 50% fill guarantee vs optimal for chunks
+  * <= capacity; a chunk larger than the capacity gets a singleton
+  * sequence (observable: its n_tokens exceeds the capacity — never
+  * dropped silently).
+  */
+object Packing {
+
+  /** Pack chunking output (doc_id, chunk_idx, chunk_text, n_tokens)
+    * into sequences of at most `capacity` tokens. Returns one row per
+    * input chunk: (shard, doc_id, chunk_idx, n_tokens, seq_idx,
+    * seq_pos) — seq_idx numbers sequences within the shard, seq_pos
+    * the chunk's position inside its sequence. Reconstruct sequence
+    * text by grouping on (shard, seq_idx) ordered by seq_pos.
+    */
+  def packNextFit(chunks: DataFrame, capacity: Int,
+                  shard: Column = null, nShards: Int = 256): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    val shardCol = if (shard != null) shard
+      else pmod(xxhash64(col("doc_id")), lit(nShards))
+    chunks
+      .select(shardCol.cast("long").as("shard"),
+        col("doc_id").cast("long"), col("chunk_idx").cast("int"),
+        col("n_tokens").cast("int"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"), col("chunk_idx"))
+      .as[(Long, Long, Int, Int)]
+      .mapPartitions { it =>
+        var curShard = Long.MinValue
+        var first = true
+        var seq = 0L
+        var pos = 0
+        var fill = 0L
+        it.map { case (sh, doc, ci, nt) =>
+          if (first || sh != curShard) { // new shard: reset the walk
+            curShard = sh; first = false
+            seq = 0L; pos = 0; fill = nt.toLong
+          } else if (fill + nt > capacity) { // bin full: open the next
+            seq += 1L; pos = 0; fill = nt.toLong
+          } else {
+            pos += 1; fill += nt
+          }
+          (sh, doc, ci, nt, seq, pos)
+        }
+      }
+      .toDF("shard", "doc_id", "chunk_idx", "n_tokens", "seq_idx", "seq_pos")
+  }
+}

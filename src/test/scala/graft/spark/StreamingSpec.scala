@@ -100,6 +100,36 @@ class StreamingSpec extends SparkTestBase {
     streamed.foreach { case (k, n) => assert(batch(k) == n, s"window $k") }
   }
 
+  test("streaming exact dedup == batch distinct; resumed run emits only the NEW distinct texts") {
+    val dir = tmpDir("graft-sdedup")
+    val in = s"$dir/in"
+    val out = s"$dir/out"
+    new java.io.File(in).mkdirs()
+    def docs(rows: Seq[(Long, String)], f: String): Unit =
+      spark.createDataset(rows).toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/stage-$f") // stage then move one file in
+    def land(rows: Seq[(Long, String)], f: String): Unit = {
+      docs(rows, f)
+      val part = new java.io.File(s"$dir/stage-$f").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(in, s"$f.parquet").toPath)
+    }
+    land(Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha"), (4L, "gamma")), "f1")
+    val n1 = StreamingDedup.runAvailableNow(spark, in, out)
+    assert(n1 == 3) // alpha, beta, gamma
+    // resume with one dup of an already-seen text and one new text:
+    // only the new one may be emitted (state persists via checkpoint)
+    land(Seq((5L, "beta"), (6L, "delta")), "f2")
+    val n2 = StreamingDedup.runAvailableNow(spark, in, out)
+    assert(n2 == 1)
+    val hashes = StreamingDedup.readUnique(spark, out)
+      .select("text_hash").as[String].collect().toSet
+    val batch = spark.createDataset(Seq("alpha", "beta", "gamma", "delta")).toDF("text")
+      .select(md5(col("text"))).as[String].collect().toSet
+    assert(hashes == batch)
+  }
+
   test("watermark-buffered sessionize: idle state is removed after retention (ADVICE r3)") {
     val dir = tmpDir("graft-bufttl")
     val in = s"$dir/in"
