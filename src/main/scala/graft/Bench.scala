@@ -74,10 +74,10 @@ object Bench {
   /** The headline subset (scan+parse heavy / shuffle heavy / join heavy).
     * Round 3 appended the skew-safe sessionizer and the HLL sketch;
     * round 4 appends the contamination fingerprint join, the
-    * char-budgeted conversation cap, training-sequence chunking, and
-    * next-fit packing — per-query numbers stay comparable across
-    * rounds; the `total` line covers 22 queries from round 4 on
-    * (18 in round 3, 16 before).
+    * char-budgeted conversation cap, training-sequence chunking,
+    * next-fit packing, and the end-to-end training composition — per-
+    * query numbers stay comparable across rounds; the `total` line
+    * covers 23 queries from round 4 on (18 in round 3, 16 before).
     */
   val headline: Seq[String] = Seq(
     "q_pipeline_extract", "q_pipeline_onepass", "q_pipeline_extractfirst",
@@ -86,7 +86,7 @@ object Bench {
     "q_neardup_pairs", "q_embed_topk", "q_embed_ivf", "q_gen_nodes",
     "q_media_features", "q_token_count", "q_sessionize_skewsafe",
     "q_sketch_users", "q_contamination", "q_conversations_bytecapped",
-    "q_chunked", "q_packed")
+    "q_chunked", "q_packed", "q_training_pipeline")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -268,6 +268,27 @@ object SparkEntry {
           H.replace_tag(col("text"), lit("h1"), lit("h2"),
             lit("class"), lit("t")).as("html"))
     }),
+    // THE END-TO-END TRAINING-DATA COMPOSITION (round 4): parse ->
+    // extract -> conversation reassembly -> quality filter (>= 100 ws
+    // tokens) -> training-sequence chunking (16/4) -> next-fit packing
+    // (capacity 24, per-conversation shard) — the full pipeline a
+    // training-data team runs, in ONE query with ONE exact oracle: the
+    // DuckDB side rebuilds conv_text algebraically, filters by the same
+    // space-count, re-slices the chunks, and replays the packing walk
+    // as a recursive CTE. Every stage's semantics is pinned end-to-end.
+    "q_training_pipeline" -> ((s, dir) => {
+      val ex = Pipeline.extractOnScanPartitions(Transcripts.derive(s, dir))
+      val convs = Pipeline.conversations(ex)
+        .filter(size(split(col("conv_text"), " ")) >= 100)
+        .select(col("conv_id"), col("conv_text"))
+      val chunks = Chunking.chunk(convs, maxTokens = 16, overlap = 4,
+          textCol = "conv_text", idCol = "conv_id")
+        .withColumn("conv_key", expr("CAST(substring(conv_id, 6) AS BIGINT)"))
+      Packing.packNextFit(chunks, capacity = 24, shard = col("conv_key"),
+          idCol = "conv_key")
+        .select(col("conv_key"), col("chunk_idx"), col("n_tokens"),
+          col("seq_idx"), col("seq_pos"))
+    }),
     // ===== window / agg over transcripts ==================================
     "q_turn_rn" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -968,6 +989,36 @@ object SparkEntry {
            | CAST(sum(length(x)) - coalesce(sum(CASE WHEN rn <= 1000 AND cum <= 100
            |   THEN length(x) END), 0) AS BIGINT) AS chars_dropped
            | FROM r GROUP BY conv_id""".stripMargin.replace("\n", ""),
+      // end-to-end: conv_text rebuilt algebraically, same space-count
+      // quality filter, same chunk slicing, same next-fit walk as a
+      // recursive CTE (the WITH list is promoted to WITH RECURSIVE)
+      "q_training_pipeline" ->
+        (s"""$cte, conv AS (SELECT CAST(substring(conv_id, 6) AS BIGINT) AS conv_key,
+           | string_agg($extractExpr, chr(10) ORDER BY turn_idx) AS ct
+           | FROM t GROUP BY conv_id),
+           |q AS (SELECT conv_key, ct FROM conv
+           | WHERE 1 + length(ct) - length(replace(ct, ' ', '')) >= 100),
+           |w AS (SELECT conv_key, string_split(ct, ' ') AS ws FROM q),
+           |cc AS (SELECT conv_key, CAST(ceil(greatest(len(ws) - 4, 1) / 12.0) AS INT) AS nch,
+           | len(ws) AS n FROM w),
+           |ch AS (SELECT conv_key, CAST(s.i AS INT) AS chunk_idx,
+           | CAST(least(n - s.i*12, 16) AS INT) AS tok
+           | FROM cc JOIN generate_series(0, 255) AS s(i) ON s.i < cc.nch),
+           |walk AS (
+           | SELECT conv_key, chunk_idx, tok, CAST(0 AS BIGINT) AS seq_idx,
+           |  0 AS seq_pos, tok AS cum
+           | FROM ch WHERE chunk_idx = 0
+           | UNION ALL
+           | SELECT ch.conv_key, ch.chunk_idx, ch.tok,
+           |  CASE WHEN walk.cum + ch.tok > 24 THEN walk.seq_idx + 1 ELSE walk.seq_idx END,
+           |  CASE WHEN walk.cum + ch.tok > 24 THEN 0 ELSE walk.seq_pos + 1 END,
+           |  CASE WHEN walk.cum + ch.tok > 24 THEN ch.tok ELSE walk.cum + ch.tok END
+           | FROM walk JOIN ch ON ch.conv_key = walk.conv_key
+           |  AND ch.chunk_idx = walk.chunk_idx + 1)
+           |SELECT conv_key, chunk_idx, tok AS n_tokens, seq_idx,
+           | CAST(seq_pos AS INT) AS seq_pos FROM walk"""
+          .stripMargin.replace("\n", " ")
+          .replaceFirst("^WITH ", "WITH RECURSIVE ")),
       "q_turn_rn" ->
         s"""$cte SELECT conv_id, turn_idx,
            | CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx DESC) AS INT) AS rn_desc

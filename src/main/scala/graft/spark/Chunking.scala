@@ -22,26 +22,38 @@ import org.apache.spark.sql.functions._
   */
 object Chunking {
 
-  /** (doc_id, chunk_idx, chunk_text, n_tokens) for every chunk. */
+  /** (doc_id, chunk_idx, chunk_text, n_tokens) for every chunk.
+    *
+    * The chunk structs are built INSIDE a `transform` over the start
+    * sequence, BEFORE the explode: the first shape sliced after
+    * posexplode, so every output row materialized with a copy of its
+    * doc's full words array — measured +4 s on 130k conversations ->
+    * 3M chunks at sf0.1. Building pre-explode keeps the per-row payload
+    * at one chunk (total data = corpus x (1 + overlap share)).
+    */
   def chunk(docs: DataFrame, maxTokens: Int = 512, overlap: Int = 64,
             textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
     require(overlap >= 0 && overlap < maxTokens,
       s"overlap must be in [0, maxTokens), got $overlap")
     val step = maxTokens - overlap
-    val words: Column = split(col(textCol), " ")
-    val n: Column = size(words)
+    val w: Column = col("w")
+    val n: Column = size(w)
     // last start: the largest multiple of step strictly below
     // max(1, n - overlap) — guarantees the final chunk is non-empty and
     // every word is covered
     val lastStart = (ceil((greatest(n - lit(overlap), lit(1))).cast("double")
       / lit(step)).cast("int") - 1) * lit(step)
-    docs.select(col(idCol), words.as("w"),
-        posexplode(sequence(lit(0), lastStart, lit(step)))
-          .as(Seq("chunk_idx", "start")))
+    docs
+      .select(col(idCol), split(col(textCol), " ").as("w"))
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), lastStart, lit(step)), start =>
+          struct(
+            array_join(slice(w, start + 1, lit(maxTokens)), " ").as("chunk_text"),
+            least(n - start, lit(maxTokens)).as("n_tokens"))))
+          .as(Seq("chunk_idx", "c")))
       .select(col(idCol), col("chunk_idx"),
-        array_join(slice(col("w"), col("start") + 1, lit(maxTokens)), " ")
-          .as("chunk_text"),
-        least(size(col("w")) - col("start"), lit(maxTokens)).as("n_tokens"))
+        col("c.chunk_text").as("chunk_text"),
+        col("c.n_tokens").as("n_tokens"))
   }
 }

@@ -33,18 +33,19 @@ object Packing {
     * text by grouping on (shard, seq_idx) ordered by seq_pos.
     */
   def packNextFit(chunks: DataFrame, capacity: Int,
-                  shard: Column = null, nShards: Int = 256): DataFrame = {
+                  shard: Column = null, nShards: Int = 256,
+                  idCol: String = "doc_id"): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
     val spark = chunks.sparkSession
     import spark.implicits._
     val shardCol = if (shard != null) shard
-      else pmod(xxhash64(col("doc_id")), lit(nShards))
+      else pmod(xxhash64(col(idCol)), lit(nShards))
     chunks
       .select(shardCol.cast("long").as("shard"),
-        col("doc_id").cast("long"), col("chunk_idx").cast("int"),
+        col(idCol).cast("long"), col("chunk_idx").cast("int"),
         col("n_tokens").cast("int"))
       .repartition(col("shard"))
-      .sortWithinPartitions(col("shard"), col("doc_id"), col("chunk_idx"))
+      .sortWithinPartitions(col("shard"), col(idCol), col("chunk_idx"))
       .as[(Long, Long, Int, Int)]
       .mapPartitions { it =>
         var curShard = Long.MinValue
@@ -64,6 +65,6 @@ object Packing {
           (sh, doc, ci, nt, seq, pos)
         }
       }
-      .toDF("shard", "doc_id", "chunk_idx", "n_tokens", "seq_idx", "seq_pos")
+      .toDF("shard", idCol, "chunk_idx", "n_tokens", "seq_idx", "seq_pos")
   }
 }
