@@ -450,6 +450,15 @@ object SparkEntry {
         .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
           col("seq_idx"), col("seq_pos"))
     }),
+    // the packed sequences MATERIALIZED (the model-ready artifact):
+    // member chunk texts joined in seq_pos order, true token sums —
+    // exact oracle by extending the q_packed walk with a re-sliced
+    // chunk-text join + ordered string_agg
+    "q_packed_sequences" -> ((s, dir) => {
+      val chunks = Chunking.chunk(docs(s, dir), maxTokens = 16, overlap = 4)
+      val asg = Packing.packNextFit(chunks, capacity = 24, shard = col("doc_id"))
+      Packing.sequences(chunks, asg)
+    }),
     "q_langid" -> ((s, dir) => {
       val lang = udf((t: String) => graft.text.TextAnalysis.detectLanguage(t)._1)
       docs(s, dir).select(col("doc_id"), lang(col("text")).as("lang_detected"))
@@ -1197,6 +1206,33 @@ object SparkEntry {
           |SELECT doc_id, chunk_idx, tok AS n_tokens, seq_idx,
           |  CAST(seq_pos AS INT) AS seq_pos FROM walk"""
           .stripMargin.replace("\n", " "),
+      "q_packed_sequences" ->
+        """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |c AS (SELECT doc_id, CAST(ceil(greatest(len(ws) - 4, 1) / 12.0) AS INT) AS nch,
+          |  len(ws) AS n FROM w),
+          |ch AS (SELECT doc_id, CAST(s.i AS INT) AS chunk_idx,
+          |  CAST(least(n - s.i*12, 16) AS INT) AS tok
+          |  FROM c JOIN generate_series(0, 63) AS s(i) ON s.i < c.nch),
+          |walk AS (
+          |  SELECT doc_id, chunk_idx, tok, CAST(0 AS BIGINT) AS seq_idx,
+          |    0 AS seq_pos, tok AS cum
+          |  FROM ch WHERE chunk_idx = 0
+          |  UNION ALL
+          |  SELECT ch.doc_id, ch.chunk_idx, ch.tok,
+          |    CASE WHEN walk.cum + ch.tok > 24 THEN walk.seq_idx + 1 ELSE walk.seq_idx END,
+          |    CASE WHEN walk.cum + ch.tok > 24 THEN 0 ELSE walk.seq_pos + 1 END,
+          |    CASE WHEN walk.cum + ch.tok > 24 THEN ch.tok ELSE walk.cum + ch.tok END
+          |  FROM walk JOIN ch ON ch.doc_id = walk.doc_id AND ch.chunk_idx = walk.chunk_idx + 1),
+          |tx AS (SELECT w.doc_id, CAST(s.i AS INT) AS chunk_idx,
+          |  array_to_string(ws[s.i*12+1 : s.i*12+16], ' ') AS chunk_text
+          |  FROM w JOIN c ON c.doc_id = w.doc_id
+          |  JOIN generate_series(0, 63) AS s(i) ON s.i < c.nch)
+          |SELECT CAST(walk.doc_id AS BIGINT) AS shard, walk.seq_idx,
+          |  CAST(count(*) AS BIGINT) AS n_chunks,
+          |  CAST(sum(walk.tok) AS BIGINT) AS n_tokens,
+          |  string_agg(tx.chunk_text, chr(10) ORDER BY walk.seq_pos) AS seq_text
+          |FROM walk JOIN tx ON tx.doc_id = walk.doc_id AND tx.chunk_idx = walk.chunk_idx
+          |GROUP BY 1, 2""".stripMargin.replace("\n", " "),
       "q_token_count" ->
         """SELECT doc_id, CAST(1 + length(text) - length(replace(text, ' ', '')) AS INT)
           | AS n_tokens FROM documents""".stripMargin.replace("\n", ""),

@@ -67,4 +67,25 @@ object Packing {
       }
       .toDF("shard", idCol, "chunk_idx", "n_tokens", "seq_idx", "seq_pos")
   }
+
+  /** Materialize the packed sequences themselves — the model-ready
+    * artifact: one row per (shard, seq_idx) with the member chunks'
+    * texts joined in seq_pos order. `sep` stands in for the EOS
+    * boundary between packed samples. n_tokens is the true member sum
+    * (chunks are independent samples — re-tokenizing the joined text
+    * across a separator is not meaningful).
+    */
+  def sequences(chunks: DataFrame, assignments: DataFrame,
+                idCol: String = "doc_id", sep: String = "\n"): DataFrame =
+    assignments
+      .join(chunks.select(col(idCol), col("chunk_idx"), col("chunk_text")),
+        Seq(idCol, "chunk_idx"))
+      .groupBy(col("shard"), col("seq_idx"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_tokens").cast("long")).as("n_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("seq_pos"), col("chunk_text")))),
+            t => t.getField("chunk_text")),
+          sep).as("seq_text"))
 }

@@ -48,6 +48,26 @@ class PackingSpec extends SparkTestBase {
     assert(got.groupBy(_._2).forall(_._2.map(_._1).distinct.length == 1))
   }
 
+  test("sequences materialize every chunk once, in seq_pos order, with true token sums") {
+    val docs = spark.createDataset(Seq(
+        (1L, (1 to 10).map("a" + _).mkString(" ")),
+        (2L, (1 to 3).map("b" + _).mkString(" "))))
+      .toDF("doc_id", "text")
+    val chunks = Chunking.chunk(docs, maxTokens = 4, overlap = 0)
+    val asg = Packing.packNextFit(chunks, capacity = 6,
+      shard = org.apache.spark.sql.functions.col("doc_id"))
+    val seqs = Packing.sequences(chunks, asg)
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(s => (s._1, s._2))
+    // doc 1: chunks (4,4,2) -> next-fit at 6: [4], [4, 2]; doc 2: [3]
+    assert(seqs.map(s => (s._1, s._2, s._3, s._4)).toSeq ==
+      Seq((1L, 0L, 1L, 4L), (1L, 1L, 2L, 6L), (2L, 0L, 1L, 3L)))
+    assert(seqs(1)._5 == "a5 a6 a7 a8\na9 a10") // seq_pos order, EOS separator
+    // conservation: every chunk lands in exactly one sequence
+    assert(seqs.map(_._3).sum == chunks.count())
+    assert(seqs.map(_._4).sum ==
+      chunks.agg(sum(col("n_tokens"))).head().getLong(0))
+  }
+
   test("plans as ONE exchange (shard repartition) + in-partition sort") {
     val df = spark.createDataset(Seq((1L, 0, "t", 3))).toDF("doc_id", "chunk_idx", "chunk_text", "n_tokens")
     val plan = Packing.packNextFit(df, 10).queryExecution.executedPlan.toString
