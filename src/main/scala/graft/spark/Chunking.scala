@@ -44,8 +44,12 @@ object Chunking {
     // every word is covered
     val lastStart = (ceil((greatest(n - lit(overlap), lit(1))).cast("double")
       / lit(step)).cast("int") - 1) * lit(step)
+    // coalesce: split(null) yields a null array and posexplode then emits
+    // NO rows — null-text docs would vanish silently (ADVICE r4). An
+    // empty string chunks like any other text (one chunk, [""]), so null
+    // docs stay visible downstream.
     docs
-      .select(col(idCol), split(col(textCol), " ").as("w"))
+      .select(col(idCol), split(coalesce(col(textCol), lit("")), " ").as("w"))
       .select(col(idCol),
         posexplode(transform(sequence(lit(0), lastStart, lit(step)), start =>
           struct(

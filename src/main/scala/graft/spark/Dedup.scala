@@ -282,6 +282,12 @@ object Dedup {
     */
   def writeFingerprintIndex(corpus: DataFrame, table: String,
                             nBuckets: Int = 64): Unit = {
+    // the orphan-location cleanup below derives the managed path from the
+    // table NAME; a qualified name (db.tbl) or custom location would make
+    // that derivation point at the wrong directory — restrict to
+    // single-part managed tables and fail loudly otherwise (ADVICE r4)
+    require(!table.contains(".") && !table.contains("/"),
+      s"writeFingerprintIndex requires a single-part managed table name, got '$table'")
     val spark = corpus.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     // a previous session may have left the managed location behind with

@@ -36,6 +36,20 @@ object Packing {
                   shard: Column = null, nShards: Int = 256,
                   idCol: String = "doc_id"): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
+    // the walk below casts idCol to long for the typed fold; a
+    // non-numeric id (e.g. raw conv_id strings) would cast to all-null,
+    // collapsing every doc onto one null key so chunks from different
+    // docs interleave — silent corruption. Fail fast instead (ADVICE
+    // r4): callers with string ids pre-extract a numeric key (as
+    // q_training_pipeline does) or pass an explicit `shard` AND a
+    // numeric id column.
+    chunks.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"packNextFit id column '$idCol' must be an integral type (cast-to-long is " +
+          s"lossless); got $other — derive a numeric key first")
+    }
     val spark = chunks.sparkSession
     import spark.implicits._
     val shardCol = if (shard != null) shard

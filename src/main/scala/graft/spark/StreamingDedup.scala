@@ -25,15 +25,22 @@ object StreamingDedup {
 
   /** Dedup all currently-available doc files into outDir; returns rows
     * written by this invocation (== newly-seen distinct texts).
+    *
+    * The per-run count comes from the query's OWN sink progress events —
+    * never a re-count of the accumulated output directory (VERDICT r4
+    * nit 2: the old before/after `count()` re-scanned the whole sink
+    * twice per invocation, O(total distinct corpus) per micro-run).
     */
   def runAvailableNow(spark: SparkSession, inputPath: String,
                       outDir: String): Long = {
-    val before = countOutput(spark, outDir)
     val q = spark.readStream
       .schema(docSchema)
       .parquet(inputPath)
       .select(col("doc_id"), md5(col("text")).as("text_hash"))
       .dropDuplicates("text_hash")
+      // per-batch row count observed IN the pipeline (the file sink does
+      // not report numOutputRows) — zero extra work per row
+      .observe("graft_dedup_out", count(lit(1)).as("rows"))
       .writeStream
       .format("parquet")
       .option("path", s"$outDir/unique")
@@ -42,17 +49,18 @@ object StreamingDedup {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    countOutput(spark, outDir) - before
-  }
-
-  def countOutput(spark: SparkSession, outDir: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(s"$outDir/unique")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) 0L
-    else {
-      spark.catalog.refreshByPath(s"$outDir/unique")
-      spark.read.parquet(s"$outDir/unique").count()
-    }
+    // sink.numOutputRows per micro-batch; recentProgress is ring-buffered
+    // (spark.sql.streaming.numRecentProgressUpdates, default 100), so an
+    // AvailableNow run with more batches than the buffer would silently
+    // under-report — fail loudly instead of returning a wrong count
+    val prog = q.recentProgress.toSeq
+    val cap = spark.conf.getOption("spark.sql.streaming.numRecentProgressUpdates")
+      .map(_.toInt).getOrElse(100)
+    require(prog.length < cap,
+      s"run produced ${prog.length} micro-batches >= progress buffer $cap; " +
+        "raise spark.sql.streaming.numRecentProgressUpdates or read the sink commit log")
+    prog.flatMap(p => Option(p.observedMetrics.get("graft_dedup_out")))
+      .map(_.getAs[Long]("rows")).sum
   }
 
   def readUnique(spark: SparkSession, outDir: String): DataFrame = {

@@ -291,13 +291,21 @@ object Fingerprints {
     * from disjoint seed ranges — the independent hash tables classic
     * multi-table LSH needs for recall amplification.
     */
-  private[text] def rhpPlanes(nbits: Int, dim: Int, table: Int = 0): Array[Array[Double]] =
+  private[text] def rhpPlanes(nbits: Int, dim: Int, table: Int = 0): Array[Array[Double]] = {
+    // the seed pool is finite: seed index table*nbits+b must not wrap, or
+    // a high table id would silently REUSE a lower table's plane set
+    // (e.g. nbits=16 table=16 == table 0) and the extra table would add
+    // zero recall. Fail loudly instead of aliasing (ADVICE r4).
+    require(table >= 0 && table * nbits + nbits <= Seeds.length,
+      s"RHP table $table with nbits=$nbits exceeds the ${Seeds.length}-seed pool " +
+        s"(would alias an earlier table's planes); max table is ${Seeds.length / nbits - 1}")
     planeCache.computeIfAbsent((nbits, dim, table), { _ =>
       Array.tabulate(nbits, dim) { (b, i) =>
         // deterministic plane component in [-1,1): mix of (table, bit, dim)
-        mix64(Seeds((table * nbits + b) % Seeds.length) + i).toDouble / Long.MaxValue.toDouble
+        mix64(Seeds(table * nbits + b) + i).toDouble / Long.MaxValue.toDouble
       }
     })
+  }
 
   /** Random-hyperplane LSH bucket (sign bits of dot products with
     * deterministic pseudo-random planes) for embedding near-dup/ANN
