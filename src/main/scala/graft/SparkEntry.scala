@@ -48,6 +48,44 @@ object SparkEntry {
     d.unionByName(d.filter(col("doc_id") % 10 === 0))
   }
 
+  /** Synthetic 16-md5-word texts derived deterministically from the
+    * documents table — the base universe for the near-dup GROUP oracles.
+    * md5 words are unique per (doc, position), so two different base
+    * docs share NO word trigram: the injected chain edges are the ONLY
+    * pairs above any Jaccard threshold, which makes the component
+    * structure SQL-predictable (the raw document texts contain natural
+    * near-verbatim pairs — q_ngram_jaccard surfaces them — that would
+    * merge unrelated groups).
+    *
+    * 16 words also pins the LSH recall bound: chain Jaccards are
+    * 14/15 (A~B), 15/16 (B~C), 14/16 (A~C); per-edge band-miss
+    * probability (1 - J^4)^16 is <= 7.6e-7 (A~C), and a component can
+    * only split if BOTH edges at one endpoint miss (~1e-13 across the
+    * corpus) — the same planted-construction argument as
+    * q_neardup_siblings, an order tighter.
+    */
+  private def chainBase(s: SparkSession, dir: String): DataFrame = {
+    val words = (1 to 16).map(k => md5(concat(col("text"), lit("#" + k))))
+    docs(s, dir).select(col("doc_id"), concat_ws(" ", words: _*).as("text"))
+  }
+
+  /** DuckDB expression regenerating [[chainBase]]'s text column. */
+  private val ChainTextSql: String =
+    (1 to 16).map(k => s"md5(text || '#$k')").mkString(" || ' ' || ")
+
+  /** Scan-speed fail-loudly guard for queries whose DuckDB oracle caps a
+    * per-row explode with generate_series(0, N): a future SF where a
+    * text exceeds `maxWords` words would silently truncate the ORACLE
+    * while Spark emits all rows — an opaque hash mismatch (ADVICE r4).
+    * assert_true evaluates per row inside the scan projection (no extra
+    * pass, no action) and returns null when the bound holds, so the
+    * filter keeps every row; a violation raises with the message instead.
+    */
+  private def guardMaxWords(df: DataFrame, textCol: String, maxWords: Int): DataFrame =
+    df.filter(assert_true(size(split(col(textCol), " ")) <= lit(maxWords),
+      lit(s"oracle generate_series bound exceeded: $textCol > $maxWords words — " +
+        "widen the oracle's series and this guard together")).isNull)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * (The find_links.d workload: parse every turn, emit hrefs in document
     * order — SURVEY.md §2.3.)
@@ -122,6 +160,16 @@ object SparkEntry {
     "q_pipeline_extract" -> ((s, dir) => {
       val extracted = Pipeline.extractTurns(Transcripts.derive(s, dir))
       Pipeline.reassembled(extracted).toDF()
+        .select(col("conv_id"), col("turn_idx"), col("extracted_text"),
+          col("n_nodes"), col("n_errors"))
+    }),
+    // the turn-range-salted per-turn output shape (VERDICT r4 nit 3): a
+    // single monster conversation spreads over ceil(n_turns/B)
+    // partitions instead of pinning one reducer. Same rows, same
+    // per-partition sort key — shares q_pipeline_extract's oracle.
+    "q_pipeline_turnsalted" -> ((s, dir) => {
+      val extracted = Pipeline.extractTurns(Transcripts.derive(s, dir))
+      Pipeline.reassembled(extracted, turnsPerShard = 4).toDF()
         .select(col("conv_id"), col("turn_idx"), col("extracted_text"),
           col("n_nodes"), col("n_errors"))
     }),
@@ -278,9 +326,12 @@ object SparkEntry {
     // as a recursive CTE. Every stage's semantics is pinned end-to-end.
     "q_training_pipeline" -> ((s, dir) => {
       val ex = Pipeline.extractOnScanPartitions(Transcripts.derive(s, dir))
-      val convs = Pipeline.conversations(ex)
+      // guardMaxWords: the oracle's chunk explode caps at
+      // generate_series(0, 255) — covers <= 256 chunks = 3076 words at
+      // 16/4 chunking (ADVICE r4)
+      val convs = guardMaxWords(Pipeline.conversations(ex)
         .filter(size(split(col("conv_text"), " ")) >= 100)
-        .select(col("conv_id"), col("conv_text"))
+        .select(col("conv_id"), col("conv_text")), "conv_text", 3076)
       val chunks = Chunking.chunk(convs, maxTokens = 16, overlap = 4,
           textCol = "conv_text", idCol = "conv_id")
         .withColumn("conv_key", expr("CAST(substring(conv_id, 6) AS BIGINT)"))
@@ -435,8 +486,13 @@ object SparkEntry {
     // the plan). maxTokens=16, overlap=4 gives 1-8 chunks per doc at
     // every driver SF (docs run 10-99 words). Exact DuckDB oracle via
     // list slicing over the same start arithmetic.
+    // guardMaxWords: the oracle's per-doc chunk explode is capped at
+    // generate_series(0, 63) — covers n_chunks <= 64, i.e. <= 772 words
+    // at 16/4 chunking (ADVICE r4: bound must fail loudly, not as an
+    // opaque hash mismatch)
     "q_chunked" -> ((s, dir) =>
-      Chunking.chunk(docs(s, dir), maxTokens = 16, overlap = 4)),
+      Chunking.chunk(guardMaxWords(docs(s, dir), "text", 772),
+        maxTokens = 16, overlap = 4)),
     // next-fit sequence packing over the chunk stream (round 4): the
     // general operator shards by doc-hash (PackingSpec pins the
     // cross-doc fold + one-exchange plan); the driver query shards BY
@@ -445,7 +501,8 @@ object SparkEntry {
     // real variety: 16-token bodies go one per sequence, tails <= 8
     // join the preceding sequence.
     "q_packed" -> ((s, dir) => {
-      val chunks = Chunking.chunk(docs(s, dir), maxTokens = 16, overlap = 4)
+      val chunks = Chunking.chunk(guardMaxWords(docs(s, dir), "text", 772),
+        maxTokens = 16, overlap = 4)
       Packing.packNextFit(chunks, capacity = 24, shard = col("doc_id"))
         .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
           col("seq_idx"), col("seq_pos"))
@@ -455,7 +512,8 @@ object SparkEntry {
     // exact oracle by extending the q_packed walk with a re-sliced
     // chunk-text join + ordered string_agg
     "q_packed_sequences" -> ((s, dir) => {
-      val chunks = Chunking.chunk(docs(s, dir), maxTokens = 16, overlap = 4)
+      val chunks = Chunking.chunk(guardMaxWords(docs(s, dir), "text", 772),
+        maxTokens = 16, overlap = 4)
       val asg = Packing.packNextFit(chunks, capacity = 24, shard = col("doc_id"))
       Packing.sequences(chunks, asg)
     }),
@@ -562,6 +620,64 @@ object SparkEntry {
       val cand = Dedup.nearDupPairs(d, simThreshold = 0.8).select(col("a"), col("b"))
       Dedup.ngramJaccardPairs(d, cand, threshold = 0.5).select(col("a"), col("b"))
     }),
+    // EXACT oracle for the verification tier (VERDICT r4 item 5): the
+    // sibling pairs' trigram arithmetic is algebraic — appending ONE
+    // unique marker word adds exactly one distinct trigram, so
+    // n_inter = |tri(A)| and n_union = |tri(A)| + 1, and DuckDB can
+    // replay |tri(A)| by string slicing. Candidates restricted to the
+    // injected pairs (b = a + 1e6) because the natural near-verbatim
+    // pairs' LSH recall at J in [0.5, 0.8) is probabilistic; the same
+    // data-precondition guard as q_neardup_siblings applies.
+    "q_neardup_verified_exact" -> ((s, dir) => {
+      val g = docs(s, dir).agg(
+        min(size(split(col("text"), " "))).as("min_words"),
+        count(lit(1)).as("n"),
+        countDistinct(col("text")).as("n_distinct")).head()
+      require(g.getInt(0) >= 8,
+        s"sibling-recall oracle needs >= 8 words/doc (J >= 6/7); min is ${g.getInt(0)}")
+      require(g.getLong(1) == g.getLong(2),
+        "sibling-recall oracle needs all document texts distinct")
+      val d = Dedup.withPerturbed(docs(s, dir))
+      val cand = Dedup.nearDupPairs(d, simThreshold = 0.5)
+        .filter(col("b") === col("a") + lit(1000000L))
+        .select(col("a"), col("b"))
+      Dedup.ngramJaccardDetail(d, cand)
+        .filter(col("n_inter").cast("double") / col("n_union") >= 0.5)
+        .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"),
+          col("n_inter"), col("n_union"))
+    }),
+    // near-dup GROUP resolution (VERDICT r4 item 1): LSH pairs -> exact
+    // trigram verify -> connected components -> min-id survivor, over
+    // the synthetic chain universe (see chainBase: raw doc texts hold
+    // natural near-verbatim pairs that would merge groups
+    // unpredictably). Every member's component must be exactly its
+    // chain's base doc — the full (member, survivor) map is the oracle.
+    "q_neardup_groups" -> ((s, dir) => {
+      val base = chainBase(s, dir)
+      val g = base.agg(count(lit(1)).as("n"),
+        countDistinct(col("text")).as("n_distinct")).head()
+      require(g.getLong(0) == g.getLong(1),
+        "chain-group oracle needs all base texts distinct")
+      Dedup.nearDupGroups(Dedup.withPerturbedChain(base), simThreshold = 0.5)
+        .select(col("doc_id").cast("long").as("member"),
+          col("survivor").cast("long").as("survivor"))
+    }),
+    // corpus -> kept docs END TO END (the dedup a user actually runs):
+    // exact tier (byte-identical +3e6 copies collapse to the base id)
+    // then near-dup tier (chains collapse to the base doc). The kept
+    // set is exactly the base universe, text included.
+    "q_dedup_corpus" -> ((s, dir) => {
+      val base = chainBase(s, dir)
+      val g = base.agg(count(lit(1)).as("n"),
+        countDistinct(col("text")).as("n_distinct")).head()
+      require(g.getLong(0) == g.getLong(1),
+        "dedup-corpus oracle needs all base texts distinct")
+      val chained = Dedup.withPerturbedChain(base)
+      val withExact = chained.unionByName(base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + lit(3000000L)).as("doc_id"), col("text")))
+      Dedup.dedupedCorpus(withExact, simThreshold = 0.5)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    }),
     "q_simhash" -> ((s, dir) =>
       Dedup.simhashTable(docs(s, dir))),
     // partial oracle for simhash (VERDICT r2 item 5): byte-identical
@@ -624,6 +740,43 @@ object SparkEntry {
       Dedup.writeFingerprintIndex(corpus, "graft_contam_idx")
       Dedup.contaminationAgainstIndex(s, "graft_contam_idx",
           planted.unionByName(clean))
+        .select(col("test_id").cast("long").as("test_id")).distinct()
+    }),
+    // PARTIAL-INCLUSION contamination (VERDICT r4 item 2): the realistic
+    // leakage regime — a quoted fragment, not a whole-doc copy. Planted
+    // test docs carry the first 3/5 (by words) of each %10 corpus doc
+    // plus one synthetic md5 tail word; clean docs are pure md5 noise.
+    // Ratio algebra (winnow k=8, w=4, density ~2/(w+1)): the copied
+    // prefix region is selected IDENTICALLY in test doc and source
+    // (windows align at offset 0; only the <= w-1 junction windows can
+    // differ), so the matched share tracks the copied char fraction —
+    // >= ~0.45 for the worst 10-word doc (33-char md5 tail), ~0.7
+    // typical, while clean docs' random-hex fingerprints match ~0 —
+    // minRatio 0.3 sits in the gap with >= 1.5x margin on both sides.
+    // Flagged TEST-ID SET is SQL-predictable; the per-pair rows also
+    // surface natural inclusions, so project the deliverable.
+    "q_contamination_partial" -> ((s, dir) => {
+      val g = docs(s, dir).agg(
+        min(size(split(col("text"), " "))).as("min_words"),
+        count(lit(1)).as("n"),
+        countDistinct(col("text")).as("n_distinct")).head()
+      require(g.getInt(0) >= 10,
+        s"partial-inclusion oracle needs >= 10 words/doc; min is ${g.getInt(0)}")
+      require(g.getLong(1) == g.getLong(2),
+        "partial-inclusion oracle needs all document texts distinct")
+      val corpus = docs(s, dir).select(col("doc_id"), col("text"))
+      val w = split(col("text"), " ")
+      val prefixWords = floor(size(w) * lit(3) / lit(5)).cast("int")
+      val planted = corpus.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + lit(7000000L)).as("doc_id"),
+          concat_ws(" ", array_join(slice(w, lit(1), prefixWords), " "),
+            md5(col("text"))).as("text"))
+      val clean = corpus.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + lit(8000000L)).as("doc_id"),
+          concat_ws(" ", md5(col("text")),
+            md5(concat(col("text"), lit("x")))).as("text"))
+      Dedup.contaminationPartial(corpus, planted.unionByName(clean),
+          minRatio = 0.3)
         .select(col("test_id").cast("long").as("test_id")).distinct()
     }),
     // partial oracle for the native winnowing Generator (same pattern as
@@ -940,6 +1093,10 @@ object SparkEntry {
         s"""$cte SELECT conv_id, turn_idx, $extractExpr AS extracted_text,
            | 38 + $NodeDeltaCase AS n_nodes, $ErrDeltaCase AS n_errors FROM t"""
           .stripMargin.replace("\n", ""),
+      "q_pipeline_turnsalted" ->
+        s"""$cte SELECT conv_id, turn_idx, $extractExpr AS extracted_text,
+           | 38 + $NodeDeltaCase AS n_nodes, $ErrDeltaCase AS n_errors FROM t"""
+          .stripMargin.replace("\n", ""),
       "q_pipeline_onepass" ->
         s"""$cte SELECT conv_id, turn_idx, $extractExpr AS extracted_text,
            | 38 + $NodeDeltaCase AS n_nodes, $ErrDeltaCase AS n_errors FROM t"""
@@ -1251,6 +1408,27 @@ object SparkEntry {
       "q_contamination_indexed" ->
         """SELECT CAST(doc_id + 5000000 AS BIGINT) AS test_id
           | FROM documents WHERE doc_id % 10 = 0""".stripMargin.replace("\n", ""),
+      "q_contamination_partial" ->
+        """SELECT CAST(doc_id + 7000000 AS BIGINT) AS test_id
+          | FROM documents WHERE doc_id % 10 = 0""".stripMargin.replace("\n", ""),
+      // sibling trigram arithmetic: appending one unique marker word to a
+      // doc with sz distinct trigrams gives intersection sz, union sz+1
+      "q_neardup_verified_exact" ->
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |n AS (SELECT i FROM generate_series(1, 4096) AS s(i)),
+          |tri AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+          |        FROM w JOIN n ON n.i <= len(ws) - 2),
+          |sizes AS (SELECT doc_id, count(*) AS sz FROM tri GROUP BY 1)
+          |SELECT CAST(doc_id AS BIGINT) AS a, CAST(doc_id + 1000000 AS BIGINT) AS b,
+          |  CAST(sz AS BIGINT) AS n_inter, CAST(sz + 1 AS BIGINT) AS n_union
+          |FROM sizes""".stripMargin.replace("\n", " "),
+      "q_neardup_groups" ->
+        """SELECT CAST(doc_id + v.o AS BIGINT) AS member, CAST(doc_id AS BIGINT) AS survivor
+          | FROM documents CROSS JOIN (VALUES (0), (1000000), (2000000)) v(o)"""
+          .stripMargin.replace("\n", ""),
+      "q_dedup_corpus" ->
+        s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, $ChainTextSql AS text
+           | FROM documents""".stripMargin.replace("\n", ""),
       "q_fingerprint_consistency" ->
         """SELECT CAST(count(*) AS BIGINT) AS n_docs,
           | CAST(0 AS BIGINT) AS n_inconsistent FROM documents"""

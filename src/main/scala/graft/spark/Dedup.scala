@@ -2,6 +2,7 @@ package graft.spark
 
 import graft.text.Fingerprints
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data deduplication operators over a documents table
@@ -47,6 +48,23 @@ object Dedup {
       (col("doc_id") + lit(offset)).as("doc_id"),
       concat(col("text"), lit(" zzappendedmarker")).as("text"))
     docs.select(col("doc_id"), col("text")).unionByName(perturbed)
+  }
+
+  /** Deterministic near-dup CHAINS for exercising group resolution: each
+    * doc A gets sibling B (doc_id + offset, one marker word appended) and
+    * sibling C (doc_id + 2*offset, two marker words appended). All three
+    * pairwise word-3-gram Jaccards are high (A~B = t/(t+1), B~C =
+    * (t+1)/(t+2), A~C = t/(t+2), t = the doc's distinct-trigram count),
+    * so {A, B, C} must resolve to ONE connected component with survivor
+    * min(doc_id) = A — SQL-predictable. The marker words never occur in
+    * document text, so chains from different base docs share no trigram.
+    */
+  def withPerturbedChain(docs: DataFrame, offset: Long = 1000000L): DataFrame = {
+    val b = docs.select(col("doc_id"), col("text"))
+    b.unionByName(b.select((col("doc_id") + lit(offset)).as("doc_id"),
+        concat(col("text"), lit(" zzchainmarkerone")).as("text")))
+      .unionByName(b.select((col("doc_id") + lit(2 * offset)).as("doc_id"),
+        concat(col("text"), lit(" zzchainmarkerone zzchainmarkertwo")).as("text")))
   }
 
   /** Per-doc minhash signature (64 perms). */
@@ -166,6 +184,33 @@ object Dedup {
       .join(t.withColumnRenamed("doc_id", "b").withColumnRenamed("text", "text_b"), "b")
       .select(col("a"), col("b"), jaccardUdf(col("text_a"), col("text_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  private val jaccardDetailUdf = udf((a: String, b: String) => {
+    val sa = Fingerprints.wordShingles(a)
+    val sb = Fingerprints.wordShingles(b)
+    var i = 0; var j = 0; var inter = 0
+    while (i < sa.length && j < sb.length) {
+      if (sa(i) == sb(j)) { inter += 1; i += 1; j += 1 }
+      else if (sa(i) < sb(j)) i += 1
+      else j += 1
+    }
+    (inter.toLong, (sa.length + sb.length - inter).toLong)
+  })
+
+  /** Exact word-3-gram intersection/union COUNTS for candidate pairs —
+    * the verification tier with its arithmetic exposed (integer counts,
+    * so an oracle can pin the verified set without floating-point
+    * hashing). Returns (a, b, n_inter, n_union); Jaccard =
+    * n_inter / n_union.
+    */
+  def ngramJaccardDetail(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), col("text"))
+    pairs
+      .join(t.withColumnRenamed("doc_id", "a").withColumnRenamed("text", "text_a"), "a")
+      .join(t.withColumnRenamed("doc_id", "b").withColumnRenamed("text", "text_b"), "b")
+      .select(col("a"), col("b"), jaccardDetailUdf(col("text_a"), col("text_b")).as("d"))
+      .select(col("a"), col("b"), col("d._1").as("n_inter"), col("d._2").as("n_union"))
   }
 
   private val triUdf = udf((text: String) => {
@@ -354,5 +399,190 @@ object Dedup {
       .agg(count(lit(1)).as("n_fp"))
       .filter(col("n_fp") === col("n_fp_total"))
       .select(col("test_id"), col("doc_id"), col("n_fp"))
+  }
+
+  // ===== near-dup GROUP resolution (round 5) ===============================
+
+  /** Connected components over an undirected edge list (a, b) by
+    * hash-min label propagation, built as ONE declarative plan (no
+    * driver-side loop actions, no checkpoints, no pinned blocks): the
+    * symmetric edge closure gets a self-loop per vertex, so each
+    * iteration is exactly `join labels on src -> min(comp) per dst` —
+    * the previous labels relation is consulted ONCE per iteration and
+    * the plan is a linear chain of `iters` join+aggregate stages whose
+    * shared edge-scan subtrees Spark's exchange reuse executes once.
+    *
+    * Hash-min propagates the minimum label one hop per iteration, so
+    * `iters` >= the largest component's diameter guarantees convergence.
+    * Near-dup components are small dense clusters (sibling/boilerplate
+    * families), so the default 8 covers diameter-8 chains — far beyond
+    * any real near-dup cluster; verify with [[unstableEdges]] (empty iff
+    * converged) rather than trusting the bound silently. At 10^12-row
+    * scale swap in the large-star/small-star contraction if components
+    * with huge diameters appear; for dedup graphs they do not.
+    *
+    * Returns (id, comp) — comp = min reachable vertex id within `iters`
+    * hops.
+    */
+  def connectedComponents(edges: DataFrame, iters: Int = 8): DataFrame = {
+    require(iters > 0, s"iters must be positive, got $iters")
+    val e = edges.select(col("a").as("src"), col("b").as("dst"))
+    val verts = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+    val sym = e
+      .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      .unionByName(verts.select(col("id").as("src"), col("id").as("dst")))
+    var labels = verts.select(col("id"), col("id").as("comp"))
+    var i = 0
+    while (i < iters) {
+      labels = sym.join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst"))
+        .agg(min(col("comp")).as("comp"))
+        .select(col("dst").as("id"), col("comp"))
+      i += 1
+    }
+    labels
+  }
+
+  /** Convergence check for [[connectedComponents]]: edges whose
+    * endpoints were assigned different components. Empty iff the label
+    * propagation converged within its iteration bound — inspect instead
+    * of trusting the diameter argument (never fail silently).
+    */
+  def unstableEdges(labels: DataFrame, edges: DataFrame): DataFrame =
+    edges
+      .join(labels.select(col("id").as("a"), col("comp").as("comp_a")), Seq("a"))
+      .join(labels.select(col("id").as("b"), col("comp").as("comp_b")), Seq("b"))
+      .filter(col("comp_a") =!= col("comp_b"))
+
+  /** Near-duplicate GROUPS with a keep-one survivor policy — the
+    * composition a corpus dedup actually runs (pairs alone are not a
+    * dedup): LSH candidates -> exact word-3-gram verification ->
+    * connected components -> survivor = min doc_id per component.
+    * Returns (doc_id, survivor) for every doc that belongs to some
+    * verified near-dup pair (docs with no near-dup are absent — they
+    * are their own trivial group).
+    */
+  def nearDupGroups(docs: DataFrame, simThreshold: Double = 0.7,
+                    jaccardThreshold: Double = 0.5, iters: Int = 8,
+                    maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val cand = nearDupPairs(docs, simThreshold, maxBucketSize)
+      .select(col("a"), col("b"))
+    val verified = ngramJaccardPairs(docs, cand, jaccardThreshold)
+      .select(col("a"), col("b"))
+    connectedComponents(verified, iters)
+      .select(col("id").as("doc_id"), col("comp").as("survivor"))
+  }
+
+  /** Corpus -> kept documents, END TO END: exact tier (byte-identical
+    * texts collapse to min doc_id) then near-dup tier (LSH -> verify ->
+    * components -> min-id survivor). Returns the kept docs with their
+    * original columns.
+    *
+    * Scale shape: only (doc_id, md5) rows cross the exact tier's
+    * exchange and only ids cross the near-dup tier (both tiers reuse
+    * [[nearDupPairs]]' guarantees); the single full-width corpus
+    * movement is the final left_anti join on doc_id, whose loser side
+    * holds ONLY the duplicates. A corpus stored bucketed on doc_id makes
+    * that join shuffle-free on the corpus side.
+    */
+  def dedupedCorpus(docs: DataFrame, simThreshold: Double = 0.7,
+                    jaccardThreshold: Double = 0.5, iters: Int = 8,
+                    maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val ids = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    val keep = ids.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+    val exactLosers = ids.join(keep, "h")
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"))
+    val nearLosers = nearDupGroups(docs, simThreshold, jaccardThreshold,
+        iters, maxBucketSize)
+      .filter(col("doc_id") =!= col("survivor"))
+      .select(col("doc_id"))
+    docs.join(exactLosers.unionByName(nearLosers).distinct(),
+      Seq("doc_id"), "left_anti")
+  }
+
+  // ===== partial-inclusion contamination (round 5) =========================
+
+  /** Partial-inclusion contamination check — the regime [[contamination]]
+    * documents but does not cover: real test-set leakage is usually a
+    * quoted PARAGRAPH inside a training doc, not a whole-doc copy. Flags
+    * (test_id, doc_id) when at least `minRatio` of the test doc's
+    * (non-boilerplate) winnowing fingerprints occur in that corpus doc.
+    * The Schleimer et al. SIGMOD'03 winnowing guarantee makes the count
+    * meaningful: every shared substring of length >= w+k-1 contributes a
+    * shared fingerprint, and a shared region of length L contributes
+    * ~2L/(w+1) of them (window-aligned interior minima are selected
+    * identically in both docs), so the matched-fingerprint ratio tracks
+    * the copied fraction of the test doc.
+    *
+    * Candidate generation uses the PREFIX FILTER for overlap-threshold
+    * set joins: an overlap of m = ceil(minRatio * n) fingerprints out of
+    * n must include at least one of ANY n-m+1 of them — in particular
+    * the n-m+1 with the LOWEST corpus document frequency (fingerprints
+    * absent from the corpus have df 0, contribute zero join rows, and
+    * prune hardest). Probing only that prefix bounds candidate volume by
+    * the rare-fingerprint postings instead of every shared gram; exact
+    * verification then counts the full match set per candidate pair.
+    * Fingerprints in more than `maxDocFreq` corpus docs are boilerplate
+    * and are dropped from BOTH sides (same defense, same observability
+    * via [[contaminationHotFingerprints]] as the full-containment
+    * check). Returns (test_id, doc_id, n_fp, n_fp_total).
+    */
+  def contaminationPartial(corpus: DataFrame, testSet: DataFrame,
+                           minRatio: Double = 0.5,
+                           maxDocFreq: Int = DefaultMaxFingerprintDocFreq): DataFrame =
+    contaminationPartialFrom(fingerprintTable(corpus).distinct(), testSet,
+      minRatio, maxDocFreq)
+
+  /** [[contaminationPartial]] against a persisted index written by
+    * [[writeFingerprintIndex]] — the per-release production probe, no
+    * corpus re-scan/winnow.
+    */
+  def contaminationPartialAgainstIndex(spark: SparkSession, indexTable: String,
+                                       testSet: DataFrame, minRatio: Double = 0.5,
+                                       maxDocFreq: Int = DefaultMaxFingerprintDocFreq): DataFrame =
+    contaminationPartialFrom(spark.table(indexTable), testSet, minRatio, maxDocFreq)
+
+  private def contaminationPartialFrom(cfp: DataFrame, testSet: DataFrame,
+                                       minRatio: Double, maxDocFreq: Int): DataFrame = {
+    require(minRatio > 0.0 && minRatio <= 1.0,
+      s"minRatio must be in (0, 1], got $minRatio")
+    val tfp = fingerprintTable(testSet).distinct()
+      .withColumnRenamed("doc_id", "test_id")
+    val dfreq = cfp.groupBy(col("fingerprint"))
+      .agg(count(lit(1)).as("doc_freq"))
+    val hot = dfreq.filter(col("doc_freq") > maxDocFreq).select(col("fingerprint"))
+    val cKept = cfp.join(broadcast(hot), Seq("fingerprint"), "left_anti")
+    val tKept = tfp.join(broadcast(hot), Seq("fingerprint"), "left_anti")
+
+    val tTotals = tKept.groupBy(col("test_id")).agg(count(lit(1)).as("n_fp_total"))
+    val needed = ceil(col("n_fp_total") * lit(minRatio)).cast("long")
+
+    // rank each test doc's fingerprints by corpus df ascending (absent =
+    // df 0 first; fingerprint as the deterministic tiebreak) and probe
+    // with the n - m + 1 rarest. The window partitions by test doc — the
+    // SMALL side by definition (a test-set release vs the corpus); the
+    // corpus side sees no window and no sort.
+    val withDf = tKept
+      .join(dfreq, Seq("fingerprint"), "left")
+      .select(col("test_id"), col("fingerprint"),
+        coalesce(col("doc_freq"), lit(0L)).as("df"))
+    val w = Window.partitionBy(col("test_id")).orderBy(col("df"), col("fingerprint"))
+    val probes = withDf.withColumn("rk", row_number().over(w))
+      .join(tTotals, "test_id")
+      .filter(col("rk") <= col("n_fp_total") - needed + lit(1L))
+      .select(col("test_id"), col("fingerprint"))
+    val cand = probes.join(cKept, "fingerprint")
+      .select(col("test_id"), col("doc_id")).distinct()
+
+    // exact verification over the candidate pairs only
+    cand.join(tKept, "test_id")
+      .join(cKept, Seq("doc_id", "fingerprint"))
+      .groupBy(col("test_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"))
+      .join(tTotals, "test_id")
+      .filter(col("n_fp") >= needed)
+      .select(col("test_id"), col("doc_id"), col("n_fp"), col("n_fp_total"))
   }
 }

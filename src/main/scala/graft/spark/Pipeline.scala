@@ -341,12 +341,29 @@ object Pipeline {
   /** Per-turn output in stable (conv_id, turn_idx) order — the shape the
     * per-turn oracle compares (north_rule: "per-turn text equality under
     * stable turn ordering").
+    *
+    * `turnsPerShard` > 0 salts the partitioner with the turn RANGE
+    * (conv_id, turn_idx / turnsPerShard) so a single monster
+    * conversation cannot pin one reducer (VERDICT r4 nit 3): rows are
+    * turn-sized, so conv_id-only partitioning is fine until one conv
+    * outgrows a partition — the salted shape bounds any conv's
+    * per-partition share at `turnsPerShard` rows. Output rows and the
+    * per-partition sort key (conv_id, turn_idx) are unchanged — only
+    * where partition boundaries fall moves, which the per-turn oracle
+    * is insensitive to by contract (stable keys, not global order).
+    * Do NOT use the salted shape for per-conversation folds — that is
+    * what conversationsCapped's partition-independent aggregator is for.
     */
-  def reassembled(extracted: Dataset[ExtractedTurn]): Dataset[ExtractedTurn] = {
+  def reassembled(extracted: Dataset[ExtractedTurn],
+                  turnsPerShard: Int = 0): Dataset[ExtractedTurn] = {
     val spark = extracted.sparkSession
     import spark.implicits._
+    val parts =
+      if (turnsPerShard > 0)
+        Seq(col("conv_id"), floor(col("turn_idx") / lit(turnsPerShard)))
+      else Seq(col("conv_id"))
     extracted
-      .repartition(col("conv_id"))
+      .repartition(parts: _*)
       .sortWithinPartitions(col("conv_id"), col("turn_idx"))
       .as[ExtractedTurn]
   }

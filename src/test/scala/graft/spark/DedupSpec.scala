@@ -145,8 +145,13 @@ class DedupSpec extends SparkTestBase {
     // ADVICE r3: the old .cache() in nearDupPairs/cosineNearDupPairs
     // pinned blocks for the session lifetime. The work-sharing now comes
     // from exchange reuse (identical canonical subtrees on both
-    // self-join sides), so after the action the block manager must be
-    // empty and the executed plan must contain ReusedExchange nodes.
+    // self-join sides), so the near-dup queries must register no NEW
+    // persistent RDD and the executed plan must contain ReusedExchange
+    // nodes. (Assert on the before/after DIFF, not global emptiness:
+    // the SparkContext is shared across suites and Transcripts.derive
+    // legitimately persists the transcripts table — whether that block
+    // is live here depends on suite ordering, not on this code path.)
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val nd = Dedup.nearDupPairs(Dedup.withPerturbed(docs), simThreshold = 0.5)
     nd.collect()
     val ndPlan = nd.queryExecution.executedPlan.toString
@@ -157,8 +162,9 @@ class DedupSpec extends SparkTestBase {
     cd.collect()
     val cdPlan = cd.queryExecution.executedPlan.toString
     assert(cdPlan.contains("ReusedExchange"), "bucketed subtree must be shared")
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-      "no cached blocks may outlive a near-dup query")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore
+    assert(leaked.isEmpty,
+      s"no cached blocks may outlive a near-dup query; new persistent RDD ids: $leaked")
   }
 
   test("scaled siblings: x2 vector keeps its RHP bucket exactly (scale-invariant sign)") {
@@ -258,6 +264,96 @@ class DedupSpec extends SparkTestBase {
     // the probe join broadcasts the query side; the corpus side has no
     // Exchange between scan and join
     assert(plan.contains("BroadcastExchange"))
+  }
+
+  test("connectedComponents: hash-min labels, chains merge, singletons self-label") {
+    // components: {1,2,3,4} (a path, diameter 3), {10,11}, {20} (self-loop)
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (20L, 20L))
+      .toDF("a", "b")
+    val labels = Dedup.connectedComponents(edges, iters = 4)
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+    assert(Dedup.unstableEdges(labels, edges).count() == 0)
+    // too few iterations for the diameter => unstableEdges reports it
+    val early = Dedup.connectedComponents(edges, iters = 1)
+    assert(Dedup.unstableEdges(early, edges).count() > 0)
+  }
+
+  private def chainUniverse = {
+    val words = (1 to 16).map(k => md5(concat(col("text"), lit("#" + k))))
+    val base = docs.select(col("doc_id"),
+      concat_ws(" ", words: _*).as("text"))
+    (base, Dedup.withPerturbedChain(base))
+  }
+
+  test("nearDupGroups: injected chains collapse to one group with min-id survivor") {
+    val (base, chained) = chainUniverse
+    val n = base.count()
+    val groups = Dedup.nearDupGroups(chained, simThreshold = 0.5)
+      .as[(Long, Long)].collect()
+    assert(groups.length == 3 * n, s"expected ${3 * n} members, got ${groups.length}")
+    groups.foreach { case (member, survivor) =>
+      assert(survivor == member % 1000000L, s"member $member -> $survivor")
+    }
+  }
+
+  test("dedupedCorpus: exact copies and chain siblings drop, base docs survive") {
+    val (base, chained) = chainUniverse
+    val withExact = chained.unionByName(base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + lit(3000000L)).as("doc_id"), col("text")))
+    val kept = Dedup.dedupedCorpus(withExact, simThreshold = 0.5)
+      .select(col("doc_id")).as[Long].collect().toSet
+    val expected = base.select(col("doc_id")).as[Long].collect().toSet
+    assert(kept == expected,
+      s"extra: ${(kept -- expected).take(5)}, missing: ${(expected -- kept).take(5)}")
+  }
+
+  test("contaminationPartial: planted partial inclusions flagged, noise docs never") {
+    val corpus = docs.select(col("doc_id"), col("text"))
+    val w = split(col("text"), " ")
+    val planted = corpus.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + lit(7000000L)).as("doc_id"),
+        concat_ws(" ", array_join(slice(w, lit(1),
+          floor(size(w) * lit(3) / lit(5)).cast("int")), " "),
+          md5(col("text"))).as("text"))
+    val clean = corpus.filter(col("doc_id") % 10 === 5)
+      .select((col("doc_id") + lit(8000000L)).as("doc_id"),
+        concat_ws(" ", md5(col("text")),
+          md5(concat(col("text"), lit("x")))).as("text"))
+    val flagged = Dedup.contaminationPartial(corpus,
+        planted.unionByName(clean), minRatio = 0.3)
+      .select(col("test_id"), col("doc_id"), col("n_fp"), col("n_fp_total"))
+      .as[(Long, Long, Long, Long)].collect()
+    val ids = flagged.map(_._1).toSet
+    val wanted = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + lit(7000000L)).cast("long")).as[Long].collect().toSet
+    assert((wanted -- ids).isEmpty, s"missed planted: ${(wanted -- ids).take(5)}")
+    assert(ids.forall(_ < 8000000L), s"noise doc flagged: ${ids.filter(_ >= 8000000L)}")
+    // every planted doc's match against its SOURCE clears the ratio with
+    // real margin (the comment in SparkEntry derives ~0.45 worst-case)
+    flagged.filter { case (t, d, _, _) => t - 7000000L == d }
+      .foreach { case (t, _, nfp, tot) =>
+        assert(nfp.toDouble / tot >= 0.3, s"test $t ratio ${nfp.toDouble / tot}")
+      }
+  }
+
+  test("contaminationPartial against persisted index == direct answer") {
+    val corpus = docs.select(col("doc_id"), col("text"))
+    val w = split(col("text"), " ")
+    val planted = corpus.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + lit(7000000L)).as("doc_id"),
+        concat_ws(" ", array_join(slice(w, lit(1),
+          floor(size(w) * lit(3) / lit(5)).cast("int")), " "),
+          md5(col("text"))).as("text"))
+    Dedup.writeFingerprintIndex(corpus, "contam_idx_partial_spec", nBuckets = 8)
+    val direct = Dedup.contaminationPartial(corpus, planted, minRatio = 0.3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val viaIdx = Dedup.contaminationPartialAgainstIndex(spark,
+        "contam_idx_partial_spec", planted, minRatio = 0.3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(direct == viaIdx)
+    spark.sql("DROP TABLE IF EXISTS contam_idx_partial_spec")
   }
 
   test("multimodal: features are 18-dim; frame sampling respects n_frames") {

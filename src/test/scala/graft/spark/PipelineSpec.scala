@@ -154,6 +154,42 @@ class PipelineSpec extends SparkTestBase {
     assert(parts.forall(identity))
   }
 
+  test("turn-range-salted reassembly: monster conv spreads, rows and sort unchanged") {
+    // one 64-turn monster among the quirk convs (VERDICT r4 nit 3)
+    val monster = (0 until 64).map(t => Turn("c-mon", t, "user",
+      s"<p>monster turn $t body</p>", "",
+      new java.sql.Timestamp(1700000000000L + t)))
+    val df = spark.createDataset(quirkTurns ++ monster).toDF()
+    val extracted = Pipeline.extractTurns(df)
+    val salted = Pipeline.reassembled(extracted, turnsPerShard = 8)
+    // same rows as the unsalted shape
+    val classic = Pipeline.reassembled(extracted).collect()
+      .map(e => (e.conv_id, e.turn_idx, e.extracted_text)).toSet
+    assert(salted.collect().map(e => (e.conv_id, e.turn_idx, e.extracted_text))
+      .toSet == classic)
+    // per-partition sort contract holds
+    val sortedParts = salted.mapPartitions { it =>
+      val keys = it.map(e => (e.conv_id, e.turn_idx)).toVector
+      Iterator.single(keys == keys.sorted)
+    }.collect()
+    assert(sortedParts.forall(identity))
+    // the monster conversation cannot pin one reducer: 64 turns at
+    // B=8 span 8 shard keys -> more than one partition. AQE correctly
+    // coalesces these KB-sized test partitions back into one, so gate
+    // the partition-spread property with coalescing off (at real scale
+    // the partitions are too big to merge and the spread is live).
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey)
+    try {
+      spark.conf.set(coalesceKey, "false")
+      val monsterParts = Pipeline.reassembled(extracted, turnsPerShard = 8)
+        .mapPartitions { it =>
+          Iterator.single(it.exists(_.conv_id == "c-mon"))
+        }.collect().count(identity)
+      assert(monsterParts > 1, s"monster conv landed in $monsterParts partition(s)")
+    } finally spark.conf.set(coalesceKey, prev)
+  }
+
   test("conversations reassembly joins turns in order") {
     val df = spark.createDataset(quirkTurns).toDF()
     val convs = Pipeline.conversations(Pipeline.extractTurns(df))
