@@ -18,7 +18,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    (uncontended estimate) and `queries_median` is also emitted;
   *  - before each replicate a fixed single-thread CPU probe is timed
   *    (`calib_ms_*`): if the probe swings, the box — not the engine —
-  *    was loaded during that window.
+  *    was loaded during that window;
+  *  - the timed phase opens with a bounded quiet-window gate and each
+  *    query earns salvage reps if every scheduled rep was contended
+  *    (steal/page-fault storms — see awaitQuietWindow), so the single
+  *    unattended run records the engine, not the hypervisor's mood;
+  *    `quiet_wait_sec`/`launch_steal_pct` report what the gate did;
+  *  - a rep that THROWS is marked failed and excluded from every
+  *    min/median/total (a failure's wall time is time-to-failure, not
+  *    engine speed); all-reps-failed queries land in `failed_queries`.
   *
   * Queries are forced through the `noop` sink — a bare count() would let
   * Catalyst prune the (deterministic) parse UDF columns and measure only
@@ -63,6 +71,34 @@ object Bench {
       s.getUsableSpace / 1073741824.0
     } catch { case _: Throwable => -1.0 }
 
+  /** Sample hypervisor-steal percentage over a short wall-clock window. */
+  def sampleStealPct(windowMs: Long): Double = {
+    val (st0, _, _, tot0) = cpuStat()
+    Thread.sleep(windowMs)
+    val (st1, _, _, tot1) = cpuStat()
+    if (tot1 > tot0) 100.0 * (st1 - st0) / (tot1 - tot0) else 0.0
+  }
+
+  /** Bounded quiet-window gate (VERDICT r4 nit 1): the box flips between
+    * 0% and 5-15% hypervisor steal within minutes, and a full-set run
+    * launched into a dirty window under-records the engine severalfold
+    * even though every per-rep diagnostic says why. Rather than hoping
+    * the (single, unattended) driver run lands well, delay the timed
+    * phase until a 2-second steal probe reads < `maxStealPct`, waiting at
+    * most `maxWaitSec` — if the box never goes quiet, proceed anyway (the
+    * per-rep steal/sys arrays still attribute the damage). Returns
+    * (seconds waited, steal% at launch) for the output JSON.
+    */
+  def awaitQuietWindow(maxWaitSec: Int, maxStealPct: Double): (Double, Double) = {
+    val t0 = System.nanoTime()
+    var steal = sampleStealPct(2000)
+    while (steal >= maxStealPct && (System.nanoTime() - t0) / 1e9 < maxWaitSec) {
+      Thread.sleep(3000)
+      steal = sampleStealPct(2000)
+    }
+    ((System.nanoTime() - t0) / 1e9, steal)
+  }
+
   /** Resident set of this (driver==executor in local mode) JVM in GiB. */
   def rssGib: Double =
     try {
@@ -73,11 +109,14 @@ object Bench {
 
   /** The headline subset (scan+parse heavy / shuffle heavy / join heavy).
     * Round 3 appended the skew-safe sessionizer and the HLL sketch;
-    * round 4 appends the contamination fingerprint join, the
+    * round 4 appended the contamination fingerprint join, the
     * char-budgeted conversation cap, training-sequence chunking,
-    * next-fit packing, and the end-to-end training composition — per-
+    * next-fit packing, and the end-to-end training composition; round 5
+    * appends the end-to-end corpus dedup (exact tier + LSH -> verify ->
+    * components -> survivor) and partial-inclusion contamination — per-
     * query numbers stay comparable across rounds; the `total` line
-    * covers 23 queries from round 4 on (18 in round 3, 16 before).
+    * covers 25 queries from round 5 on (23 in round 4, 18 in round 3,
+    * 16 before).
     */
   val headline: Seq[String] = Seq(
     "q_pipeline_extract", "q_pipeline_onepass", "q_pipeline_extractfirst",
@@ -86,7 +125,8 @@ object Bench {
     "q_neardup_pairs", "q_embed_topk", "q_embed_ivf", "q_gen_nodes",
     "q_media_features", "q_token_count", "q_sessionize_skewsafe",
     "q_sketch_users", "q_contamination", "q_conversations_bytecapped",
-    "q_chunked", "q_packed", "q_training_pipeline")
+    "q_chunked", "q_packed", "q_training_pipeline",
+    "q_dedup_corpus", "q_contamination_partial")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -145,38 +185,87 @@ object Bench {
       runQuery(graft.spark.Pipeline.extractTurns(t).toDF())
     }
 
-    // optional comma-separated subset for targeted re-measurement
+    // optional comma-separated subset for targeted re-measurement —
+    // names outside the headline select from the full SparkEntry map
+    // (ad-hoc profiling of any driver query)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
-    val selected = only.fold(headline)(f => headline.filter(f))
+    val selected = only.fold(headline) { f =>
+      headline.filter(f) ++
+        SparkEntry.queries.keys.filter(n => f(n) && !headline.contains(n)).toSeq.sorted
+    }
     final case class Rep(sec: Double, calMs: Double, stealPct: Double, gcPct: Double,
-                         sysPct: Double, shmFree: Double, heapUsed: Double, rss: Double)
+                         sysPct: Double, shmFree: Double, heapUsed: Double, rss: Double,
+                         failed: Boolean)
     import scala.jdk.CollectionConverters._
     def gcMs: Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
     val localDir = spark.conf.get("spark.local.dir")
+
+    // don't start the timed phase inside a dirty window (bounded wait;
+    // knobs: SPARK_GRAFT_BENCH_QUIET_WAIT seconds, 0 disables)
+    val quietWait = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_WAIT", "120").toInt
+    val (waitedSec, launchSteal) =
+      if (quietWait > 0) awaitQuietWindow(quietWait, maxStealPct = 1.0)
+      else (0.0, sampleStealPct(1000))
+
+    def runRep(name: String, fn: (SparkSession, String) => DataFrame): Rep = {
+      val cal = calibrate()
+      val (st0, _, sys0, tot0) = cpuStat()
+      val gc0 = gcMs
+      val t0 = System.nanoTime()
+      // a rep that THROWS must never be recorded as a measurement: the
+      // round-5 draft table briefly carried a 0.32 s "record" for a
+      // query whose require failed at that SF — time-to-failure, not
+      // engine speed. Mark it and exclude it from min/median/total.
+      val failed =
+        try { runQuery(fn(spark, sfDir)); false }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: $e"); true }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val (st1, _, sys1, tot1) = cpuStat()
+      val stealPct =
+        if (tot1 > tot0) 100.0 * (st1 - st0) / (tot1 - tot0) else 0.0
+      // attributable explanations for a slow replicate: hypervisor
+      // steal, driver-JVM GC, kernel (memory-reclaim) system time,
+      // and the memory state itself (tmpfs free / heap / RSS)
+      val sysPct =
+        if (tot1 > tot0) 100.0 * (sys1 - sys0) / (tot1 - tot0) else 0.0
+      val gcPct = if (sec > 0) (gcMs - gc0) / 10.0 / sec else 0.0
+      val heapUsed = (Runtime.getRuntime.totalMemory() -
+        Runtime.getRuntime.freeMemory()) / 1073741824.0
+      Rep(sec, cal, stealPct, gcPct, sysPct, shmFreeGib(localDir), heapUsed, rssGib,
+        failed)
+    }
+    // a rep launched into external interference: hypervisor steal, or a
+    // kernel page-fault/reclaim storm (the two failure signatures that
+    // dirtied the round-4 driver record)
+    def contended(r: Rep): Boolean = r.stealPct > 1.0 || r.sysPct > 15.0
+    // shared wall-clock budget for pre-salvage quiet waits across ALL
+    // queries (the launch gate only covers the start of the run; the box
+    // flips windows within minutes, so mid-run queries need their own —
+    // bounded — chance to wait the storm out)
+    var salvageWaitBudget =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SALVAGE_WAIT", "120").toDouble
     val results: Seq[(String, Seq[Rep])] =
       selected.flatMap { name =>
         SparkEntry.queries.get(name).map { fn =>
-          val times = (0 until reps).map { _ =>
-            val cal = calibrate()
-            val (st0, _, sys0, tot0) = cpuStat()
-            val gc0 = gcMs
-            val t0 = System.nanoTime()
-            try runQuery(fn(spark, sfDir))
-            catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-            val sec = (System.nanoTime() - t0) / 1e9
-            val (st1, _, sys1, tot1) = cpuStat()
-            val stealPct =
-              if (tot1 > tot0) 100.0 * (st1 - st0) / (tot1 - tot0) else 0.0
-            // attributable explanations for a slow replicate: hypervisor
-            // steal, driver-JVM GC, kernel (memory-reclaim) system time,
-            // and the memory state itself (tmpfs free / heap / RSS)
-            val sysPct =
-              if (tot1 > tot0) 100.0 * (sys1 - sys0) / (tot1 - tot0) else 0.0
-            val gcPct = if (sec > 0) (gcMs - gc0) / 10.0 / sec else 0.0
-            val heapUsed = (Runtime.getRuntime.totalMemory() -
-              Runtime.getRuntime.freeMemory()) / 1073741824.0
-            Rep(sec, cal, stealPct, gcPct, sysPct, shmFreeGib(localDir), heapUsed, rssGib)
+          var times = (0 until reps).map(_ => runRep(name, fn))
+          // salvage: the headline is min-of-reps, so a query is only
+          // misrecorded when EVERY rep was contended — grant up to 2
+          // extra reps in that case, each preceded by a short quiet wait
+          // while the shared budget lasts (bounded extra cost, and the
+          // raw arrays keep the full history honest)
+          var extra = 0
+          // (failed reps are deterministic bugs, not weather — never
+          // salvage them)
+          while (extra < 2 && times.forall(r => contended(r) && !r.failed)) {
+            if (salvageWaitBudget > 0) {
+              val (w, _) = awaitQuietWindow(
+                math.min(salvageWaitBudget, 45.0).toInt, maxStealPct = 1.0)
+              salvageWaitBudget -= w
+            }
+            times = times :+ runRep(name, fn)
+            extra += 1
           }
           (name, times)
         }
@@ -186,8 +275,17 @@ object Bench {
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     def obj(f: (String, Seq[Rep]) => String): String =
       results.map { case (k, rs) => "\"" + k + "\":" + f(k, rs) }.mkString("{", ",", "}")
-    val qMin = obj((_, rs) => jnum(rs.map(_.sec).min))
-    val qMed = obj((_, rs) => jnum(median(rs.map(_.sec))))
+    // headline statistics are over SUCCESSFUL reps only; a query whose
+    // every rep failed reports null and lands in failed_queries — loud,
+    // not fast
+    def okSecs(rs: Seq[Rep]): Seq[Double] = rs.filterNot(_.failed).map(_.sec)
+    val qMin = obj((_, rs) =>
+      { val ok = okSecs(rs); if (ok.isEmpty) "null" else jnum(ok.min) })
+    val qMed = obj((_, rs) =>
+      { val ok = okSecs(rs); if (ok.isEmpty) "null" else jnum(median(ok)) })
+    val qFailed = obj((_, rs) => rs.map(_.failed.toString).mkString("[", ",", "]"))
+    val failedQueries = results.collect {
+      case (k, rs) if rs.forall(_.failed) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val qAll = obj((_, rs) => rs.map(r => jnum(r.sec)).mkString("[", ",", "]"))
     val cAll = obj((_, rs) => rs.map(r => f"${r.calMs}%.0f").mkString("[", ",", "]"))
     val sAll = obj((_, rs) => rs.map(r => f"${r.stealPct}%.1f").mkString("[", ",", "]"))
@@ -196,19 +294,19 @@ object Bench {
     val shmAll = obj((_, rs) => rs.map(r => f"${r.shmFree}%.1f").mkString("[", ",", "]"))
     val heapAll = obj((_, rs) => rs.map(r => f"${r.heapUsed}%.1f").mkString("[", ",", "]"))
     val rssAll = obj((_, rs) => rs.map(r => f"${r.rss}%.1f").mkString("[", ",", "]"))
-    val totalMin = results.map(_._2.map(_.sec).min).sum
-    val totalMed = results.map(t => median(t._2.map(_.sec))).sum
-    val pipeSec = results.find(_._1 == "q_pipeline_extract")
-      .map(_._2.map(_.sec).min).getOrElse(Double.NaN)
-    val onePassSec = results.find(_._1 == "q_pipeline_onepass")
-      .map(_._2.map(_.sec).min).getOrElse(Double.NaN)
-    val exFirstSec = results.find(_._1 == "q_pipeline_extractfirst")
-      .map(_._2.map(_.sec).min).getOrElse(Double.NaN)
+    val totalMin = results.flatMap(t => okSecs(t._2).minOption).sum
+    val totalMed = results.map(t => okSecs(t._2))
+      .collect { case ok if ok.nonEmpty => median(ok) }.sum
+    def minOk(name: String): Double = results.find(_._1 == name)
+      .flatMap(t => okSecs(t._2).minOption).getOrElse(Double.NaN)
+    val pipeSec = minOk("q_pipeline_extract")
+    val onePassSec = minOk("q_pipeline_onepass")
+    val exFirstSec = minOk("q_pipeline_extractfirst")
     val tps = if (pipeSec > 0) nTurns / pipeSec else 0.0
     val tps1 = if (onePassSec > 0) nTurns / onePassSec else 0.0
     val tpsEf = if (exFirstSec > 0) nTurns / exFirstSec else 0.0
     val heapG = Runtime.getRuntime.maxMemory() / (1 << 30)
-    println(s"""{"metric":"total","value":${jnum(totalMin)},"unit":"sec","queries":$qMin,"queries_median":$qMed,"total_median":${jnum(totalMed)},"reps":$reps,"queries_all_sec":$qAll,"calib_ms":$cAll,"steal_pct":$sAll,"gc_pct":$gAll,"sys_pct":$syAll,"shm_free_gib":$shmAll,"heap_used_gib":$heapAll,"rss_gib":$rssAll,"input":"materialized-parquet","sf":"$sfDir","turns":$nTurns,"turns_per_sec":${f"$tps%.1f"},"turns_per_sec_onepass":${f"$tps1%.1f"},"turns_per_sec_extractfirst":${f"$tpsEf%.1f"},"cpus":$cpus,"heap_gib":$heapG}""")
+    println(s"""{"metric":"total","value":${jnum(totalMin)},"unit":"sec","queries":$qMin,"queries_median":$qMed,"total_median":${jnum(totalMed)},"reps":$reps,"queries_all_sec":$qAll,"calib_ms":$cAll,"steal_pct":$sAll,"gc_pct":$gAll,"sys_pct":$syAll,"shm_free_gib":$shmAll,"heap_used_gib":$heapAll,"rss_gib":$rssAll,"input":"materialized-parquet","sf":"$sfDir","turns":$nTurns,"turns_per_sec":${f"$tps%.1f"},"turns_per_sec_onepass":${f"$tps1%.1f"},"turns_per_sec_extractfirst":${f"$tpsEf%.1f"},"cpus":$cpus,"heap_gib":$heapG,"quiet_wait_sec":${f"$waitedSec%.1f"},"launch_steal_pct":${f"$launchSteal%.1f"},"failed_reps":$qFailed,"failed_queries":$failedQueries}""")
     spark.stop()
     // free the /dev/shm staging copy (RAM-backed — must not accumulate)
     import scala.jdk.CollectionConverters._

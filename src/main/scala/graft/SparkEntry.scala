@@ -57,6 +57,14 @@ object SparkEntry {
     * near-verbatim pairs — q_ngram_jaccard surfaces them — that would
     * merge unrelated groups).
     *
+    * The words are salted with doc_id, NOT derived from text alone: the
+    * sf0.1 documents table holds byte-identical texts under different
+    * doc_ids (8 of 5000), and text-only derivation would collide their
+    * chains — merging components across base docs and breaking the
+    * per-doc survivor oracle (measured: the distinctness require threw
+    * at sf0.1 and the bench silently recorded the time-to-failure).
+    * With the salt, distinctness holds BY CONSTRUCTION at every SF.
+    *
     * 16 words also pins the LSH recall bound: chain Jaccards are
     * 14/15 (A~B), 15/16 (B~C), 14/16 (A~C); per-edge band-miss
     * probability (1 - J^4)^16 is <= 7.6e-7 (A~C), and a component can
@@ -65,13 +73,16 @@ object SparkEntry {
     * q_neardup_siblings, an order tighter.
     */
   private def chainBase(s: SparkSession, dir: String): DataFrame = {
-    val words = (1 to 16).map(k => md5(concat(col("text"), lit("#" + k))))
+    val tag = concat(col("doc_id").cast("long").cast("string"), lit(":"), col("text"))
+    val words = (1 to 16).map(k => md5(concat(tag, lit("#" + k))))
     docs(s, dir).select(col("doc_id"), concat_ws(" ", words: _*).as("text"))
   }
 
   /** DuckDB expression regenerating [[chainBase]]'s text column. */
   private val ChainTextSql: String =
-    (1 to 16).map(k => s"md5(text || '#$k')").mkString(" || ' ' || ")
+    (1 to 16).map(k =>
+        s"md5(CAST(CAST(doc_id AS BIGINT) AS VARCHAR) || ':' || text || '#$k')")
+      .mkString(" || ' ' || ")
 
   /** Scan-speed fail-loudly guard for queries whose DuckDB oracle caps a
     * per-row explode with generate_series(0, N): a future SF where a
@@ -653,11 +664,9 @@ object SparkEntry {
     // unpredictably). Every member's component must be exactly its
     // chain's base doc — the full (member, survivor) map is the oracle.
     "q_neardup_groups" -> ((s, dir) => {
+      // base texts are distinct BY CONSTRUCTION (doc_id-salted md5
+      // words — see chainBase), so no runtime distinctness job is needed
       val base = chainBase(s, dir)
-      val g = base.agg(count(lit(1)).as("n"),
-        countDistinct(col("text")).as("n_distinct")).head()
-      require(g.getLong(0) == g.getLong(1),
-        "chain-group oracle needs all base texts distinct")
       Dedup.nearDupGroups(Dedup.withPerturbedChain(base), simThreshold = 0.5)
         .select(col("doc_id").cast("long").as("member"),
           col("survivor").cast("long").as("survivor"))
@@ -667,11 +676,9 @@ object SparkEntry {
     // then near-dup tier (chains collapse to the base doc). The kept
     // set is exactly the base universe, text included.
     "q_dedup_corpus" -> ((s, dir) => {
+      // base texts are distinct BY CONSTRUCTION (doc_id-salted md5
+      // words — see chainBase), so no runtime distinctness job is needed
       val base = chainBase(s, dir)
-      val g = base.agg(count(lit(1)).as("n"),
-        countDistinct(col("text")).as("n_distinct")).head()
-      require(g.getLong(0) == g.getLong(1),
-        "dedup-corpus oracle needs all base texts distinct")
       val chained = Dedup.withPerturbedChain(base)
       val withExact = chained.unionByName(base.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + lit(3000000L)).as("doc_id"), col("text")))
@@ -756,15 +763,16 @@ object SparkEntry {
     // Flagged TEST-ID SET is SQL-predictable; the per-pair rows also
     // surface natural inclusions, so project the deliverable.
     "q_contamination_partial" -> ((s, dir) => {
-      val g = docs(s, dir).agg(
-        min(size(split(col("text"), " "))).as("min_words"),
-        count(lit(1)).as("n"),
-        countDistinct(col("text")).as("n_distinct")).head()
-      require(g.getInt(0) >= 10,
-        s"partial-inclusion oracle needs >= 10 words/doc; min is ${g.getInt(0)}")
-      require(g.getLong(1) == g.getLong(2),
-        "partial-inclusion oracle needs all document texts distinct")
+      // Ratio-algebra precondition (>= 10 words/doc) enforced scan-side
+      // (assert_true per row, no extra driver job — guardMaxWords
+      // pattern). Duplicate corpus texts (sf0.1 has 8/5000) do NOT need
+      // a guard: the oracle is the flagged test-id SET, and a planted
+      // doc is flagged by its own source whether or not copies of that
+      // source exist, while clean md5-noise docs match nothing either
+      // way — so the set is invariant to corpus-text duplication.
       val corpus = docs(s, dir).select(col("doc_id"), col("text"))
+        .filter(assert_true(size(split(col("text"), " ")) >= 10,
+          lit("partial-inclusion oracle needs >= 10 words/doc")).isNull)
       val w = split(col("text"), " ")
       val prefixWords = floor(size(w) * lit(3) / lit(5)).cast("int")
       val planted = corpus.filter(col("doc_id") % 10 === 0)

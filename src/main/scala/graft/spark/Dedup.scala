@@ -404,13 +404,23 @@ object Dedup {
   // ===== near-dup GROUP resolution (round 5) ===============================
 
   /** Connected components over an undirected edge list (a, b) by
-    * hash-min label propagation, built as ONE declarative plan (no
-    * driver-side loop actions, no checkpoints, no pinned blocks): the
-    * symmetric edge closure gets a self-loop per vertex, so each
-    * iteration is exactly `join labels on src -> min(comp) per dst` —
-    * the previous labels relation is consulted ONCE per iteration and
-    * the plan is a linear chain of `iters` join+aggregate stages whose
-    * shared edge-scan subtrees Spark's exchange reuse executes once.
+    * hash-min label propagation: the symmetric edge closure gets a
+    * self-loop per vertex, so each iteration is exactly `join labels on
+    * src -> min(comp) per dst` — a linear chain of `iters`
+    * join+aggregate stages over ONE materialized edge relation.
+    *
+    * The edge list is materialized (localCheckpoint) before iterating —
+    * deliberately, and it matters: a purely declarative chain re-embeds
+    * the caller's whole upstream pipeline (here LSH banding -> trigram
+    * verify) once per reference, ~4 copies per iteration, and AQE
+    * re-optimizes each copy separately so exchange reuse does NOT
+    * collapse them — the upstream pipeline re-executes tens of times
+    * (measured on the q_dedup_corpus composition at sf0.01: 95-113 s
+    * declarative vs ~3 s materialized). The materialization is bounded
+    * by the verified-pair count (two id columns, no text), lives on the
+    * executors, and is released with the result — the standard
+    * checkpoint step of distributed CC (GraphX/GraphFrames checkpoint
+    * for exactly this lineage/plan-blowup reason).
     *
     * Hash-min propagates the minimum label one hop per iteration, so
     * `iters` >= the largest component's diameter guarantees convergence.
@@ -427,6 +437,7 @@ object Dedup {
   def connectedComponents(edges: DataFrame, iters: Int = 8): DataFrame = {
     require(iters > 0, s"iters must be positive, got $iters")
     val e = edges.select(col("a").as("src"), col("b").as("dst"))
+      .localCheckpoint()
     val verts = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id"))).distinct()
     val sym = e
@@ -532,7 +543,18 @@ object Dedup {
   def contaminationPartial(corpus: DataFrame, testSet: DataFrame,
                            minRatio: Double = 0.5,
                            maxDocFreq: Int = DefaultMaxFingerprintDocFreq): DataFrame =
-    contaminationPartialFrom(fingerprintTable(corpus).distinct(), testSet,
+    // The plan consults the corpus fingerprint relation three times
+    // (df ranking, candidate postings, verification arrays); winnowed
+    // on the fly it would re-scan + re-winnow the corpus per reference
+    // (AQE re-optimizes each copy, so exchange reuse does not collapse
+    // them — same failure mode as connectedComponents' edges, measured
+    // ~3x the corpus winnow at sf0.1). Materialize it once: bounded,
+    // ids-only (doc_id, fingerprint). At real corpus scale use
+    // [[contaminationPartialAgainstIndex]] — there the corpus side is a
+    // persisted bucketed table whose re-scan is cheap and pruned, and
+    // nothing is checkpointed.
+    contaminationPartialFrom(
+      fingerprintTable(corpus).distinct().localCheckpoint(), testSet,
       minRatio, maxDocFreq)
 
   /** [[contaminationPartial]] against a persisted index written by
@@ -548,8 +570,12 @@ object Dedup {
                                        minRatio: Double, maxDocFreq: Int): DataFrame = {
     require(minRatio > 0.0 && minRatio <= 1.0,
       s"minRatio must be in (0, 1], got $minRatio")
+    // test side is consulted three times (totals, df ranking,
+    // verification arrays) and a test-set release is SMALL by
+    // definition — materialize its fingerprints once
     val tfp = fingerprintTable(testSet).distinct()
       .withColumnRenamed("doc_id", "test_id")
+      .localCheckpoint()
     val dfreq = cfp.groupBy(col("fingerprint"))
       .agg(count(lit(1)).as("doc_freq"))
     val hot = dfreq.filter(col("doc_freq") > maxDocFreq).select(col("fingerprint"))
@@ -576,13 +602,27 @@ object Dedup {
     val cand = probes.join(cKept, "fingerprint")
       .select(col("test_id"), col("doc_id")).distinct()
 
-    // exact verification over the candidate pairs only
-    cand.join(tKept, "test_id")
-      .join(cKept, Seq("doc_id", "fingerprint"))
-      .groupBy(col("test_id"), col("doc_id"))
-      .agg(count(lit(1)).as("n_fp"))
-      .join(tTotals, "test_id")
-      .filter(col("n_fp") >= needed)
-      .select(col("test_id"), col("doc_id"), col("n_fp"), col("n_fp_total"))
+    // Exact verification over the candidate pairs only — PAIR-LOCAL:
+    // each side's (already distinct) fingerprint set is packed into one
+    // array per doc and the intersection is sized in the projection
+    // (array_intersect, codegen'd). The alternative — re-joining the
+    // exploded fingerprint tables per candidate pair — generates
+    // sum-over-pairs(|T ∩ D|) rows before its aggregate; measured at
+    // sf0.1 against this corpus's low-selectivity fingerprint space
+    // (6.2k distinct fingerprints, mean df ~87): 12M exploded rows /
+    // ~35 s vs ~3 s for the array form. The array payload is bounded by
+    // winnowing density (~2 fingerprints per w+1 chars), and the pair
+    // relation crosses the exchange exactly once.
+    val tArr = tKept.groupBy(col("test_id"))
+      .agg(collect_list(col("fingerprint")).as("t_fps"),
+        count(lit(1)).as("n_fp_total"))
+    val cArr = cKept.groupBy(col("doc_id"))
+      .agg(collect_list(col("fingerprint")).as("c_fps"))
+    cand.join(tArr, "test_id")
+      .join(cArr, "doc_id")
+      .select(col("test_id"), col("doc_id"),
+        size(array_intersect(col("t_fps"), col("c_fps"))).cast("long").as("n_fp"),
+        col("n_fp_total"))
+      .filter(col("n_fp") >= ceil(col("n_fp_total") * lit(minRatio)).cast("long"))
   }
 }
