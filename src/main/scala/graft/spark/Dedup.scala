@@ -409,15 +409,16 @@ object Dedup {
     * src -> min(comp) per dst` — a linear chain of `iters`
     * join+aggregate stages over ONE materialized edge relation.
     *
-    * The edge list is materialized (localCheckpoint) before iterating —
-    * deliberately, and it matters: a purely declarative chain re-embeds
-    * the caller's whole upstream pipeline (here LSH banding -> trigram
-    * verify) once per reference, ~4 copies per iteration, and AQE
-    * re-optimizes each copy separately so exchange reuse does NOT
-    * collapse them — the upstream pipeline re-executes tens of times
-    * (measured on the q_dedup_corpus composition at sf0.01: 95-113 s
-    * declarative vs ~3 s materialized). The materialization is bounded
-    * by the verified-pair count (two id columns, no text), lives on the
+    * The symmetric edge closure is materialized (localCheckpoint)
+    * before iterating — deliberately, and it matters: a purely
+    * declarative chain re-embeds the caller's whole upstream pipeline
+    * (here LSH banding -> trigram verify) once per reference, ~4 copies
+    * per iteration, and AQE re-optimizes each copy separately so
+    * exchange reuse does NOT collapse them — the upstream pipeline
+    * re-executes tens of times (measured on the q_dedup_corpus
+    * composition at sf0.01: 95-113 s declarative vs ~3 s materialized).
+    * The materialization is bounded by 2x the verified-pair count plus
+    * the vertex count (two id columns, no text), lives on the
     * executors, and is released with the result — the standard
     * checkpoint step of distributed CC (GraphX/GraphFrames checkpoint
     * for exactly this lineage/plan-blowup reason).
@@ -436,22 +437,79 @@ object Dedup {
     */
   def connectedComponents(edges: DataFrame, iters: Int = 8): DataFrame = {
     require(iters > 0, s"iters must be positive, got $iters")
-    val e = edges.select(col("a").as("src"), col("b").as("dst"))
-      .localCheckpoint()
-    val verts = e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id"))).distinct()
-    val sym = e
-      .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
-      .unionByName(verts.select(col("id").as("src"), col("id").as("dst")))
-    var labels = verts.select(col("id"), col("id").as("comp"))
+    val sym = symClosure(edges)
+    var labels = initLabels(sym)
     var i = 0
     while (i < iters) {
-      labels = sym.join(labels.withColumnRenamed("id", "src"), Seq("src"))
-        .groupBy(col("dst"))
-        .agg(min(col("comp")).as("comp"))
-        .select(col("dst").as("id"), col("comp"))
+      labels = propagateMin(sym, labels)
       i += 1
     }
+    labels
+  }
+
+  /** Symmetric edge closure with self-loops, MATERIALIZED — the one
+    * relation every propagation step scans (see the
+    * [[connectedComponents]] Scaladoc for why the checkpoint is
+    * load-bearing). Bounded at 2|E| + |V| two-long-column rows.
+    */
+  private def symClosure(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a").as("src"), col("b").as("dst"))
+    val verts = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+    e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      .unionByName(verts.select(col("id").as("src"), col("id").as("dst")))
+      .localCheckpoint()
+  }
+
+  /** Every vertex starts as its own component. The self-loops make
+    * `sym`'s distinct sources exactly the vertex set. */
+  private def initLabels(sym: DataFrame): DataFrame =
+    sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+
+  /** One hash-min hop: each vertex adopts the minimum component label
+    * among its neighbors (self-loop included, so labels never regress). */
+  private def propagateMin(sym: DataFrame, labels: DataFrame): DataFrame =
+    sym.join(labels.withColumnRenamed("id", "src"), Seq("src"))
+      .groupBy(col("dst"))
+      .agg(min(col("comp")).as("comp"))
+      .select(col("dst").as("id"), col("comp"))
+
+  /** [[connectedComponents]] with OBSERVED convergence instead of a
+    * trusted iteration bound: propagate in blocks of `blockIters` hops,
+    * materialize the labels, and stop as soon as no edge crosses two
+    * components (the [[unstableEdges]] predicate evaluated on the
+    * symmetric closure). Near-dup graphs converge in 1-2 hops (dense
+    * sibling/boilerplate families), so the common cost is ONE block plus
+    * one convergence count — measured 2-3x cheaper than the fixed
+    * 8-iteration chain at sf0.1 — while a pathological high-diameter
+    * graph keeps iterating up to `maxIters` and a non-converged exit
+    * THROWS rather than returning half-merged components (the GraphFrames
+    * / Pregel loop shape: driver-side counts between blocks, every
+    * iterated relation checkpointed so plans stay shallow).
+    */
+  def connectedComponentsConverged(edges: DataFrame, blockIters: Int = 2,
+                                   maxIters: Int = 32): DataFrame = {
+    require(blockIters > 0, s"blockIters must be positive, got $blockIters")
+    require(maxIters >= blockIters, s"maxIters ($maxIters) < blockIters ($blockIters)")
+    val sym = symClosure(edges)
+    var labels = initLabels(sym)
+    var done = false
+    var it = 0
+    while (!done && it < maxIters) {
+      var b = 0
+      while (b < blockIters) { labels = propagateMin(sym, labels); b += 1 }
+      labels = labels.localCheckpoint()
+      it += blockIters
+      // converged iff no (symmetric-closure) edge spans two components;
+      // self-loops are trivially stable and cost two broadcastable joins
+      done = unstableEdges(labels,
+        sym.select(col("src").as("a"), col("dst").as("b"))).isEmpty
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"connectedComponentsConverged: not converged after $it hops " +
+          s"(component diameter exceeds maxIters=$maxIters) — raise maxIters")
     labels
   }
 
@@ -469,10 +527,11 @@ object Dedup {
   /** Near-duplicate GROUPS with a keep-one survivor policy — the
     * composition a corpus dedup actually runs (pairs alone are not a
     * dedup): LSH candidates -> exact word-3-gram verification ->
-    * connected components -> survivor = min doc_id per component.
-    * Returns (doc_id, survivor) for every doc that belongs to some
-    * verified near-dup pair (docs with no near-dup are absent — they
-    * are their own trivial group).
+    * connected components (convergence OBSERVED, `iters` as the hop
+    * cap — see [[connectedComponentsConverged]]) -> survivor = min
+    * doc_id per component. Returns (doc_id, survivor) for every doc
+    * that belongs to some verified near-dup pair (docs with no
+    * near-dup are absent — they are their own trivial group).
     */
   def nearDupGroups(docs: DataFrame, simThreshold: Double = 0.7,
                     jaccardThreshold: Double = 0.5, iters: Int = 8,
@@ -481,7 +540,7 @@ object Dedup {
       .select(col("a"), col("b"))
     val verified = ngramJaccardPairs(docs, cand, jaccardThreshold)
       .select(col("a"), col("b"))
-    connectedComponents(verified, iters)
+    connectedComponentsConverged(verified, blockIters = 2, maxIters = iters)
       .select(col("id").as("doc_id"), col("comp").as("survivor"))
   }
 
@@ -527,29 +586,36 @@ object Dedup {
     * identically in both docs), so the matched-fingerprint ratio tracks
     * the copied fraction of the test doc.
     *
-    * Candidate generation uses the PREFIX FILTER for overlap-threshold
-    * set joins: an overlap of m = ceil(minRatio * n) fingerprints out of
-    * n must include at least one of ANY n-m+1 of them — in particular
-    * the n-m+1 with the LOWEST corpus document frequency (fingerprints
-    * absent from the corpus have df 0, contribute zero join rows, and
-    * prune hardest). Probing only that prefix bounds candidate volume by
-    * the rare-fingerprint postings instead of every shared gram; exact
-    * verification then counts the full match set per candidate pair.
-    * Fingerprints in more than `maxDocFreq` corpus docs are boilerplate
-    * and are dropped from BOTH sides (same defense, same observability
-    * via [[contaminationHotFingerprints]] as the full-containment
-    * check). Returns (test_id, doc_id, n_fp, n_fp_total).
+    * Shape: a DIRECT overlap count — broadcast the test-set fingerprints
+    * (a release is small by definition), join the corpus postings once,
+    * and count matches per (test_id, doc_id) in a partial-aggregating
+    * hash agg. The prefix filter that powers [[contamination]] is
+    * deliberately NOT used here: with m = ceil(minRatio * n) required
+    * matches it may only skip the n - m + 1 rarest probes — at
+    * full containment (m = n) that is all-but-one and the filter is the
+    * whole optimization, but at a moderate ratio it trims the probe side
+    * by just (1-r)·n while forcing a SECOND exact-verification pass over
+    * the surviving candidate pairs. Measured at sf0.1 against this
+    * corpus's low-selectivity fingerprint space (6.2k distinct
+    * fingerprints, mean df ~87, 1.49M candidate pairs at r=0.3): prefix
+    * filter + pair-local array verify 17.6 s; this direct count 4-5 s.
+    * The scale bound is the hot-fingerprint cap, not the filter: join
+    * volume <= |test fingerprints| x maxDocFreq, the corpus postings
+    * never shuffle (scan -> broadcast join -> partial agg), and
+    * fingerprints in more than `maxDocFreq` corpus docs are boilerplate,
+    * dropped from BOTH sides (same defense, same observability via
+    * [[contaminationHotFingerprints]] as the full-containment check).
+    * Returns (test_id, doc_id, n_fp, n_fp_total).
     */
   def contaminationPartial(corpus: DataFrame, testSet: DataFrame,
                            minRatio: Double = 0.5,
                            maxDocFreq: Int = DefaultMaxFingerprintDocFreq): DataFrame =
-    // The plan consults the corpus fingerprint relation three times
-    // (df ranking, candidate postings, verification arrays); winnowed
-    // on the fly it would re-scan + re-winnow the corpus per reference
-    // (AQE re-optimizes each copy, so exchange reuse does not collapse
-    // them — same failure mode as connectedComponents' edges, measured
-    // ~3x the corpus winnow at sf0.1). Materialize it once: bounded,
-    // ids-only (doc_id, fingerprint). At real corpus scale use
+    // The plan consults the corpus fingerprint relation twice (hot-df
+    // ranking, count-join postings); winnowed on the fly it would
+    // re-scan + re-winnow the corpus per reference (AQE re-optimizes
+    // each copy, so exchange reuse does not collapse them — same
+    // failure mode as connectedComponents' edges). Materialize it once:
+    // bounded, ids-only (doc_id, fingerprint). At real corpus scale use
     // [[contaminationPartialAgainstIndex]] — there the corpus side is a
     // persisted bucketed table whose re-scan is cheap and pruned, and
     // nothing is checkpointed.
@@ -570,9 +636,9 @@ object Dedup {
                                        minRatio: Double, maxDocFreq: Int): DataFrame = {
     require(minRatio > 0.0 && minRatio <= 1.0,
       s"minRatio must be in (0, 1], got $minRatio")
-    // test side is consulted three times (totals, df ranking,
-    // verification arrays) and a test-set release is SMALL by
-    // definition — materialize its fingerprints once
+    // test side is consulted twice (totals + the count join) and a
+    // test-set release is SMALL by definition — materialize its
+    // fingerprints once and broadcast them below
     val tfp = fingerprintTable(testSet).distinct()
       .withColumnRenamed("doc_id", "test_id")
       .localCheckpoint()
@@ -583,46 +649,18 @@ object Dedup {
     val tKept = tfp.join(broadcast(hot), Seq("fingerprint"), "left_anti")
 
     val tTotals = tKept.groupBy(col("test_id")).agg(count(lit(1)).as("n_fp_total"))
-    val needed = ceil(col("n_fp_total") * lit(minRatio)).cast("long")
 
-    // rank each test doc's fingerprints by corpus df ascending (absent =
-    // df 0 first; fingerprint as the deterministic tiebreak) and probe
-    // with the n - m + 1 rarest. The window partitions by test doc — the
-    // SMALL side by definition (a test-set release vs the corpus); the
-    // corpus side sees no window and no sort.
-    val withDf = tKept
-      .join(dfreq, Seq("fingerprint"), "left")
-      .select(col("test_id"), col("fingerprint"),
-        coalesce(col("doc_freq"), lit(0L)).as("df"))
-    val w = Window.partitionBy(col("test_id")).orderBy(col("df"), col("fingerprint"))
-    val probes = withDf.withColumn("rk", row_number().over(w))
-      .join(tTotals, "test_id")
-      .filter(col("rk") <= col("n_fp_total") - needed + lit(1L))
-      .select(col("test_id"), col("fingerprint"))
-    val cand = probes.join(cKept, "fingerprint")
-      .select(col("test_id"), col("doc_id")).distinct()
-
-    // Exact verification over the candidate pairs only — PAIR-LOCAL:
-    // each side's (already distinct) fingerprint set is packed into one
-    // array per doc and the intersection is sized in the projection
-    // (array_intersect, codegen'd). The alternative — re-joining the
-    // exploded fingerprint tables per candidate pair — generates
-    // sum-over-pairs(|T ∩ D|) rows before its aggregate; measured at
-    // sf0.1 against this corpus's low-selectivity fingerprint space
-    // (6.2k distinct fingerprints, mean df ~87): 12M exploded rows /
-    // ~35 s vs ~3 s for the array form. The array payload is bounded by
-    // winnowing density (~2 fingerprints per w+1 chars), and the pair
-    // relation crosses the exchange exactly once.
-    val tArr = tKept.groupBy(col("test_id"))
-      .agg(collect_list(col("fingerprint")).as("t_fps"),
-        count(lit(1)).as("n_fp_total"))
-    val cArr = cKept.groupBy(col("doc_id"))
-      .agg(collect_list(col("fingerprint")).as("c_fps"))
-    cand.join(tArr, "test_id")
-      .join(cArr, "doc_id")
-      .select(col("test_id"), col("doc_id"),
-        size(array_intersect(col("t_fps"), col("c_fps"))).cast("long").as("n_fp"),
-        col("n_fp_total"))
+    // direct overlap count (see the Scaladoc regime analysis): one
+    // broadcast hash join on the corpus-postings scan — nothing
+    // corpus-sized shuffles — and the per-pair match count folds in the
+    // map-side partial aggregate, so only distinct (test, doc) pairs
+    // with their counts cross the exchange (<= |test fps| x maxDocFreq
+    // rows pre-agg, by the hot cap)
+    cKept.join(broadcast(tKept), "fingerprint")
+      .groupBy(col("test_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"))
+      .join(broadcast(tTotals), "test_id")
       .filter(col("n_fp") >= ceil(col("n_fp_total") * lit(minRatio)).cast("long"))
+      .select(col("test_id"), col("doc_id"), col("n_fp"), col("n_fp_total"))
   }
 }

@@ -316,6 +316,36 @@ class DedupSpec extends SparkTestBase {
       "the input edge relation must not be re-embedded past the checkpoint")
   }
 
+  test("connectedComponentsConverged: matches oracle, handles high diameter, throws past maxIters") {
+    // same union-find oracle as the fixed-iteration variant
+    val rnd = new scala.util.Random(43)
+    for (_ <- 0 until 4) {
+      val n = 2 + rnd.nextInt(39)
+      val edges = (0 until n).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val parent = scala.collection.mutable.ArrayBuffer.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
+      val want = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+        .groupBy(v => find(v.toInt))
+        .values.flatMap { vs => val m = vs.min; vs.map(_ -> m) }.toMap
+      val got = Dedup.connectedComponentsConverged(edges.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"n=$n edges=$edges")
+    }
+    // a diameter-19 path converges ADAPTIVELY (needs 19 hops — more than
+    // nearDupGroups' default 8-hop bound would have run fixed)
+    val path = (0L until 19L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = Dedup.connectedComponentsConverged(path, blockIters = 2, maxIters = 32)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == 20 && labels.values.forall(_ == 0L))
+    // and a too-small hop cap fails LOUDLY, never returning half-merged
+    // components
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponentsConverged(path, blockIters = 2, maxIters = 4)
+    }
+    assert(e.getMessage.contains("not converged"))
+  }
+
   private def chainUniverse = {
     val words = (1 to 16).map(k => md5(concat(col("text"), lit("#" + k))))
     val base = docs.select(col("doc_id"),
