@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.spark.{Chunking, Dedup, Embeddings, Events, HtmlFunctions => H, Multimodal, Packing, Pipeline, Transcripts}
+import graft.spark.{Chunking, Dedup, Embeddings, Events, Filtering, HtmlFunctions => H, Multimodal, Packing, Pipeline, Transcripts}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -804,6 +804,101 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("n_sig") > 1, 1L).otherwise(0L)).as("n_inconsistent"))
     }),
+    // ===== corpus quality / selection over documents ======================
+    // Gopher-style repetition stats: exact integer byte counts (UTF-8),
+    // shuffle-free higher-order-function projection; top-2-gram counts
+    // only grams occurring >= 2 times (count ties -> lexicographically
+    // smallest gram, matching the oracle's ORDER BY c DESC, g ASC pick).
+    // guardMaxWords: the oracle's gram explode joins generate_series(1,
+    // 4096), covering texts <= 4097 words.
+    "q_repetition" -> ((s, dir) =>
+      Filtering.repetitionStats(guardMaxWords(docs(s, dir), "text", 4097))
+        .select(col("doc_id"), col("n_words"), col("top2_chars"), col("dup3_chars"))),
+    // the filter itself: keep iff both repetition byte-fractions are at
+    // or below 20% (basis points, integer cross-multiplication)
+    "q_gopher_filter" -> ((s, dir) =>
+      Filtering.gopherRepetitionFilter(guardMaxWords(docs(s, dir), "text", 4097))
+        .select(col("doc_id"), col("keep"))),
+    // deterministic Bernoulli sampling at 19661/65536 ~ 30%: the 4-hex
+    // md5 prefix comparison replays verbatim in ANSI SQL
+    "q_hash_sample" -> ((s, dir) =>
+      Filtering.hashSample(docs(s, dir), col("doc_id"), 19661, salt = "graft")
+        .select(col("doc_id"))),
+    // stratified: per-language keep rates (en 50%, zh 10%, rest 20%) as
+    // a broadcast rates table
+    "q_hash_sample_stratified" -> ((s, dir) =>
+      Filtering.hashSampleStratified(docs(s, dir), col("doc_id"), col("lang"),
+        Map("en" -> 32768, "de" -> 13107, "fr" -> 13107, "es" -> 13107,
+          "zh" -> 6554), salt = "graft")
+        .select(col("doc_id"), col("lang"))),
+    // global token-budget selection: best docs by a synthetic (but
+    // data-derived, SQL-exact) score until 8000 tokens — the histogram
+    // two-pass plan, checked against the oracle's global window replay
+    "q_budget_select" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        (octet_length(col("text")) % 997).cast("int").as("score"),
+        (lit(1) + octet_length(col("text"))
+          - octet_length(translate(col("text"), " ", ""))).cast("int").as("tok"))
+      Filtering.selectToBudget(d, col("score"), col("tok"), col("doc_id"), 8000L)
+    }),
+    // PII redaction over documents with deterministic injection
+    // (doc_id%7==0 docs get an email + IP + digit run appended; the
+    // oracle mirrors the injection) — counts taken pre-masking
+    "q_redact_pii" -> ((s, dir) => {
+      val injected = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".1 ref 4921")))
+          .otherwise(col("text")).as("text"))
+      Filtering.redactPii(injected)
+        .select(col("doc_id"), col("text"), col("n_emails"), col("n_ips"))
+    }),
+    // incremental exact dedup: corpus (doc_id%3!=0) is indexed ONCE as
+    // bucketed md5 hashes; the batch (doc_id%2==0) anti-joins against
+    // the index — new-to-the-corpus texts only, min-id survivor within
+    // the batch (DedupSpec plan-gates the bucketed no-shuffle read)
+    "q_incremental_dedup" -> ((s, dir) => {
+      val corpus = docs(s, dir).filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"), col("text"))
+      Dedup.writeHashIndex(corpus, "graft_dedup_idx", nBuckets = 16)
+      val batch = docs(s, dir).filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"))
+      Dedup.newAgainstIndex(s, "graft_dedup_idx", batch)
+        .select(col("doc_id"), col("text_hash"))
+    }),
+    // deterministic train/val/test split: consecutive ranges of the same
+    // 65536 md5 buckets hashSample uses (90/5/5), so splits are disjoint
+    // by construction and stable under re-runs/engines/cluster sizes
+    "q_split_assign" -> ((s, dir) =>
+      Filtering.assignSplit(docs(s, dir), col("doc_id"),
+          Seq("train" -> 58982, "val" -> 3277, "test" -> 3277), salt = "graft")
+        .select(col("doc_id"), col("split"))),
+    // THE END-TO-END CURATION COMPOSITION: redact PII -> Gopher
+    // repetition filter -> exact dedup (min-id survivor) -> deterministic
+    // 70% sample -> global token-budget selection -> train/val/test
+    // split, in ONE query with ONE exact oracle replaying every stage.
+    // This is the corpus-side sibling of q_training_pipeline (which
+    // covers the transcript side: parse->extract->chunk->pack).
+    "q_curation_pipeline" -> ((s, dir) => {
+      val red = Filtering.redactPii(docs(s, dir).select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("text"))
+      val kept = Filtering.gopherRepetitionFilter(guardMaxWords(red, "text", 4097))
+        .filter(col("keep")).select(col("doc_id"), col("text"))
+      val deduped = kept.groupBy(md5(col("text")).as("h"))
+        .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id")).as("w"))
+        .select(col("w.doc_id").as("doc_id"), col("w.text").as("text"))
+      val sampled = Filtering.hashSample(deduped, col("doc_id"), 45875, salt = "graft")
+      val scored = sampled.select(col("doc_id"),
+        (octet_length(col("text")) % 997).cast("int").as("score"),
+        (lit(1) + octet_length(col("text"))
+          - octet_length(translate(col("text"), " ", ""))).cast("int").as("tok"))
+      val selected = Filtering.selectToBudget(scored, col("score"), col("tok"),
+        col("doc_id"), 6000L)
+      Filtering.assignSplit(selected, col("doc_id"),
+          Seq("train" -> 58982, "val" -> 3277, "test" -> 3277), salt = "split")
+        .select(col("doc_id"), col("score"), col("tok"), col("split"))
+    }),
     // ===== similarity search over embeddings ==============================
     "q_embed_topk" -> ((s, dir) =>
       Embeddings.bruteForceTopK(emb(s, dir), k = 5, nQueries = 10)),
@@ -1494,6 +1589,128 @@ object SparkEntry {
         """SELECT CAST(vec_id AS BIGINT) AS query_id,
           | CAST(vec_id + 1000000 AS BIGINT) AS neighbor_id
           | FROM embeddings WHERE vec_id < 10""".stripMargin.replace("\n", ""),
+      // repetition stats replay: same gram explode as q_ngram_jaccard,
+      // top-2-gram picked by (count DESC, gram ASC) and zeroed when the
+      // max count is 1; byte counts via strlen (UTF-8), matching
+      // Spark's octet_length
+      "q_repetition" ->
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |n AS (SELECT i FROM generate_series(1, 4096) AS s(i)),
+          |g2 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g FROM w JOIN n ON n.i <= len(ws) - 1),
+          |g3 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g FROM w JOIN n ON n.i <= len(ws) - 2),
+          |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+          |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+          |t2 AS (SELECT doc_id, CASE WHEN c >= 2 THEN c * strlen(g) ELSE 0 END AS topc,
+          |  row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn FROM c2),
+          |d3 AS (SELECT doc_id, COALESCE(SUM(CASE WHEN c >= 2 THEN c * strlen(g) END), 0) AS dupc
+          |  FROM c3 GROUP BY 1)
+          |SELECT w.doc_id, CAST(len(ws) AS INT) AS n_words,
+          |  CAST(COALESCE(t2.topc, 0) AS BIGINT) AS top2_chars,
+          |  CAST(COALESCE(d3.dupc, 0) AS BIGINT) AS dup3_chars
+          |FROM w LEFT JOIN t2 ON t2.doc_id = w.doc_id AND t2.rn = 1
+          |LEFT JOIN d3 ON d3.doc_id = w.doc_id""".stripMargin.replace("\n", " "),
+      "q_gopher_filter" ->
+        """WITH w AS (SELECT doc_id, strlen(text) AS nb, string_split(text, ' ') AS ws FROM documents),
+          |n AS (SELECT i FROM generate_series(1, 4096) AS s(i)),
+          |g2 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g FROM w JOIN n ON n.i <= len(ws) - 1),
+          |g3 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g FROM w JOIN n ON n.i <= len(ws) - 2),
+          |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+          |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+          |t2 AS (SELECT doc_id, CASE WHEN c >= 2 THEN c * strlen(g) ELSE 0 END AS topc,
+          |  row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn FROM c2),
+          |d3 AS (SELECT doc_id, COALESCE(SUM(CASE WHEN c >= 2 THEN c * strlen(g) END), 0) AS dupc
+          |  FROM c3 GROUP BY 1)
+          |SELECT w.doc_id,
+          |  (COALESCE(t2.topc, 0) * 10000 <= 2000 * w.nb
+          |   AND COALESCE(d3.dupc, 0) * 10000 <= 2000 * w.nb) AS keep
+          |FROM w LEFT JOIN t2 ON t2.doc_id = w.doc_id AND t2.rn = 1
+          |LEFT JOIN d3 ON d3.doc_id = w.doc_id""".stripMargin.replace("\n", " "),
+      // 19661 = 0x4ccd; the 4-hex md5 prefix comparison is engine-neutral
+      "q_hash_sample" ->
+        """SELECT doc_id FROM documents
+          | WHERE substring(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 4) < '4ccd'"""
+          .stripMargin.replace("\n", ""),
+      // 32768 = 0x8000, 13107 = 0x3333, 6554 = 0x199a
+      "q_hash_sample_stratified" ->
+        """SELECT doc_id, lang FROM documents
+          | WHERE substring(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 4) <
+          |  CASE lang WHEN 'en' THEN '8000' WHEN 'zh' THEN '199a' ELSE '3333' END"""
+          .stripMargin.replace("\n", ""),
+      // the global prefix rule the histogram plan must reproduce
+      "q_budget_select" ->
+        """WITH t AS (SELECT doc_id, CAST(strlen(text) % 997 AS INT) AS score,
+          |  CAST(1 + strlen(text) - strlen(replace(text, ' ', '')) AS INT) AS tok
+          |  FROM documents),
+          |r AS (SELECT doc_id, score, tok,
+          |  sum(tok) OVER (ORDER BY score DESC, doc_id ASC ROWS UNBOUNDED PRECEDING) AS cum
+          |  FROM t)
+          |SELECT doc_id, score, tok FROM r WHERE cum <= 8000"""
+          .stripMargin.replace("\n", " "),
+      "q_redact_pii" ->
+        """WITH inj AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
+          |  THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 10.0.'
+          |    || CAST(doc_id % 256 AS VARCHAR) || '.1 ref 4921'
+          |  ELSE text END AS text FROM documents)
+          |SELECT doc_id,
+          |  regexp_replace(regexp_replace(regexp_replace(text,
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+          |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '[IP]', 'g'),
+          |    '[0-9]{4,}', '[NUM]', 'g') AS text,
+          |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+          |  CAST(len(regexp_extract_all(text, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS INT) AS n_ips
+          |FROM inj""".stripMargin.replace("\n", " "),
+      "q_incremental_dedup" ->
+        """WITH corpus AS (SELECT text FROM documents WHERE doc_id % 3 <> 0),
+          |b AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+          |nw AS (SELECT doc_id, text FROM b
+          |  WHERE text NOT IN (SELECT text FROM corpus))
+          |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, md5(text) AS text_hash
+          |FROM nw GROUP BY md5(text)""".stripMargin.replace("\n", " "),
+      // 58982 = 0xe666 (90%), 58982+3277 = 62259 = 0xf333 (+5%), rest test
+      "q_split_assign" ->
+        """SELECT doc_id, CASE
+          | WHEN substring(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'train'
+          | WHEN substring(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'f333' THEN 'val'
+          | ELSE 'test' END AS split FROM documents""".stripMargin.replace("\n", ""),
+      // every stage of the curation composition replayed: PII regexes,
+      // the Gopher gram machinery (as in q_gopher_filter, over REDACTED
+      // text), GROUP BY text min-id dedup, the 0xb333 (~70%) hash
+      // sample, the global (score DESC, id ASC) budget prefix, and the
+      // split CASE
+      "q_curation_pipeline" ->
+        """WITH red AS (SELECT doc_id,
+          |  regexp_replace(regexp_replace(regexp_replace(text,
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+          |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '[IP]', 'g'),
+          |    '[0-9]{4,}', '[NUM]', 'g') AS text FROM documents),
+          |w AS (SELECT doc_id, strlen(text) AS nb, string_split(text, ' ') AS ws, text FROM red),
+          |n AS (SELECT i FROM generate_series(1, 4096) AS s(i)),
+          |g2 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g FROM w JOIN n ON n.i <= len(ws) - 1),
+          |g3 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g FROM w JOIN n ON n.i <= len(ws) - 2),
+          |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+          |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+          |t2 AS (SELECT doc_id, CASE WHEN c >= 2 THEN c * strlen(g) ELSE 0 END AS topc,
+          |  row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn FROM c2),
+          |d3 AS (SELECT doc_id, COALESCE(SUM(CASE WHEN c >= 2 THEN c * strlen(g) END), 0) AS dupc
+          |  FROM c3 GROUP BY 1),
+          |kept AS (SELECT w.doc_id, w.text FROM w
+          |  LEFT JOIN t2 ON t2.doc_id = w.doc_id AND t2.rn = 1
+          |  LEFT JOIN d3 ON d3.doc_id = w.doc_id
+          |  WHERE COALESCE(t2.topc, 0) * 10000 <= 2000 * w.nb
+          |    AND COALESCE(d3.dupc, 0) * 10000 <= 2000 * w.nb),
+          |ded AS (SELECT min(doc_id) AS doc_id, text FROM kept GROUP BY text),
+          |samp AS (SELECT doc_id, text FROM ded
+          |  WHERE substring(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'b333'),
+          |scored AS (SELECT doc_id, CAST(strlen(text) % 997 AS INT) AS score,
+          |  CAST(1 + strlen(text) - strlen(replace(text, ' ', '')) AS INT) AS tok FROM samp),
+          |r AS (SELECT doc_id, score, tok,
+          |  sum(tok) OVER (ORDER BY score DESC, doc_id ASC ROWS UNBOUNDED PRECEDING) AS cum
+          |  FROM scored)
+          |SELECT doc_id, score, tok, CASE
+          |  WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'train'
+          |  WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'f333' THEN 'val'
+          |  ELSE 'test' END AS split
+          |FROM r WHERE cum <= 6000""".stripMargin.replace("\n", " "),
       "q_media_features" ->
         "SELECT doc_id, 18 AS n_dims FROM documents",
       "q_frame_sample" ->

@@ -663,4 +663,54 @@ object Dedup {
       .filter(col("n_fp") >= ceil(col("n_fp_total") * lit(minRatio)).cast("long"))
       .select(col("test_id"), col("doc_id"), col("n_fp"), col("n_fp_total"))
   }
+
+  /** Build the PERSISTED exact-dedup hash index — the production shape
+    * of incremental ingestion at 100 TB: the already-accepted corpus is
+    * hashed ONCE and stored as 16-byte md5 hex keys (no text), bucketed
+    * AND sorted on the hash so every future batch anti-joins against it
+    * with no corpus-side shuffle or sort (the bucketed layout already
+    * satisfies the join clustering — same contract as
+    * [[writeFingerprintIndex]], FilteringSpec plan-gates it). After
+    * accepting a batch, append its new hashes (`.mode("append")` keeps
+    * the bucket spec) and the loop continues.
+    */
+  def writeHashIndex(corpus: DataFrame, table: String,
+                     nBuckets: Int = 64): Unit = {
+    require(!table.contains(".") && !table.contains("/"),
+      s"writeHashIndex requires a single-part managed table name, got '$table'")
+    val spark = corpus.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    corpus.select(md5(col("text")).as("text_hash")).distinct()
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, "text_hash")
+      .sortBy("text_hash")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Incremental exact dedup of a new batch against a [[writeHashIndex]]
+    * corpus: rows whose text was never seen — neither in the indexed
+    * corpus nor earlier (by `idCol` ascending) in the batch itself.
+    * Returns one row per NEW distinct hash: (min id, text_hash, text).
+    *
+    * Scale shape: the batch is hashed scan-side, deduped within itself
+    * by ONE hash aggregate (min-id survivor), and anti-joined against
+    * the index on the hash. The index side is pre-bucketed on the join
+    * key, so only the (already hash-collapsed) batch shuffles; corpus
+    * text is never read at all — the index stores hashes only.
+    */
+  def newAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                      indexTable: String, batch: DataFrame,
+                      idCol: String = "doc_id"): DataFrame = {
+    val inBatch = batch
+      .select(col(idCol), md5(col("text")).as("text_hash"), col("text"))
+      .groupBy(col("text_hash"))
+      .agg(min_by(struct(col(idCol), col("text")), col(idCol)).as("w"))
+      .select(col(s"w.$idCol").as(idCol), col("text_hash"), col("w.text").as("text"))
+    inBatch.join(spark.table(indexTable), Seq("text_hash"), "left_anti")
+  }
 }

@@ -1,0 +1,272 @@
+package graft.spark
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-quality filtering and selection operators for a training-data
+  * pipeline: Gopher-style repetition statistics, deterministic hash
+  * sampling, and global token-budget selection.
+  *
+  * Scale notes (the 100 TB shapes):
+  *  - [[repetitionStats]] / [[gopherRepetitionFilter]] are pure per-row
+  *    projections over built-in higher-order functions — shuffle-free,
+  *    run at scan speed, and the per-row cost is O(n log n) in the
+  *    word count (one array_sort, then a single linear `aggregate`
+  *    pass), NOT the O(n^2) of the naive count-each-distinct-gram
+  *    formulation.
+  *  - [[hashSample]] is a deterministic filter on a content hash: the
+  *    same row always makes the same keep/drop decision, independent of
+  *    partitioning, task retries, or cluster size — the property
+  *    `rand()`-based sampling loses under speculative execution. It
+  *    pushes down to the scan like any other filter.
+  *  - [[selectToBudget]] replaces the global sort + running sum (one
+  *    reducer sees the whole corpus) with a two-pass histogram plan:
+  *    a small per-score aggregate decides the score cutoff on the
+  *    driver, full buckets pass as a broadcast-scalar filter, and only
+  *    the single boundary bucket pays a window.
+  */
+object Filtering {
+
+  /** SQL fragment: the sorted n-gram array of a split-on-space text
+    * column. Grams are joined with a single space, so their byte length
+    * is `sum(word bytes) + n - 1` — the unit both engines agree on
+    * (Spark `length` counts UTF-16 units, DuckDB `length` counts code
+    * points; `octet_length`/`strlen` count UTF-8 bytes identically).
+    */
+  private def sortedGramsSql(wordsCol: String, n: Int): String = {
+    val concat = (0 until n).map(j => s"element_at($wordsCol, i + $j)")
+      .mkString("concat_ws(' ', ", ", ", ")")
+    s"""CASE WHEN size($wordsCol) < $n THEN CAST(array() AS ARRAY<STRING>)
+       | ELSE array_sort(transform(sequence(1, size($wordsCol) - ${n - 1}),
+       |   i -> $concat)) END""".stripMargin.replace("\n", " ")
+  }
+
+  /** SQL fragment: one linear pass over a SORTED gram array collecting
+    * run-length statistics into a struct:
+    *   top — bytes covered by the most frequent gram (count * bytes),
+    *         PROVIDED it occurs at least twice — a count-1 gram is not
+    *         repetition, and counting it would make the metric pure
+    *         doc-length noise on short documents. Count ties break to
+    *         the lexicographically smallest gram, which is the FIRST
+    *         max run in the sorted array — strict `>` keeps it.
+    *   dup — total bytes over all occurrences of grams appearing >= 2
+    *         times (the Gopher "characters in duplicate n-grams"
+    *         numerator, in UTF-8 bytes).
+    * The init state's empty-string sentinel flushes as a run of 0 and
+    * can never win.
+    */
+  private def runStatsSql(arrCol: String): String =
+    s"""aggregate($arrCol,
+       | named_struct('prev', '', 'run', 0L, 'best', 0L, 'top', 0L, 'dup', 0L),
+       | (st, g) -> IF(g = st.prev,
+       |   named_struct('prev', st.prev, 'run', st.run + 1L, 'best', st.best,
+       |     'top', st.top, 'dup', st.dup),
+       |   named_struct('prev', g, 'run', 1L,
+       |     'best', IF(st.run > st.best, st.run, st.best),
+       |     'top', IF(st.run >= 2L AND st.run > st.best, st.run * octet_length(st.prev), st.top),
+       |     'dup', st.dup + IF(st.run >= 2L, st.run * octet_length(st.prev), 0L))),
+       | st -> named_struct(
+       |   'top', IF(st.run >= 2L AND st.run > st.best, st.run * octet_length(st.prev), st.top),
+       |   'dup', st.dup + IF(st.run >= 2L, st.run * octet_length(st.prev), 0L)))"""
+      .stripMargin.replace("\n", " ")
+
+  /** Gopher-style repetition statistics (Rae et al. 2021 §A1.1) per
+    * document: word count, bytes covered by the most frequent word
+    * 2-gram, and bytes in duplicated word 3-grams. Counts are exact
+    * integers (UTF-8 bytes) so they replay hash-exact in ANSI SQL;
+    * normalization to fractions is the caller's choice of denominator
+    * (see [[gopherRepetitionFilter]]).
+    *
+    * The whole computation is ONE expression over a single reference to
+    * `textCol`, with the word array let-bound as a lambda variable
+    * (`transform(array(split(...)), ws -> ...)`). This matters when the
+    * text column is itself computed (e.g. [[redactPii]] output): the
+    * optimizer inlines computed aliases into consuming expressions —
+    * including into lambda BODIES, where an inlined text expression
+    * re-evaluates once per GRAM rather than once per row (measured 9x
+    * on the redact->gopher composition). A lambda variable is never
+    * substituted, so upstream expressions evaluate exactly once per row
+    * no matter what feeds this operator.
+    */
+  def repetitionStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val statsSql =
+      s"""element_at(transform(array(split(`$textCol`, ' ')), __ws -> named_struct(
+         | 'n_words', size(__ws),
+         | 'top2', ${runStatsSql(sortedGramsSql("__ws", 2))}.top,
+         | 'dup3', ${runStatsSql(sortedGramsSql("__ws", 3))}.dup)), 1)"""
+        .stripMargin.replace("\n", " ")
+    df.withColumn("__st", expr(statsSql))
+      .withColumn("n_words", col("__st.n_words"))
+      .withColumn("top2_chars", col("__st.top2"))
+      .withColumn("dup3_chars", col("__st.dup3"))
+      .drop("__st")
+  }
+
+  /** The repetition filter itself: keep a document iff its top-2-gram
+    * and duplicate-3-gram byte fractions (denominator: total text
+    * bytes) are at or below the thresholds, given in basis points.
+    * Integer cross-multiplication — no float division, so the decision
+    * replays exactly in any engine. Returns the input columns plus a
+    * `keep` flag (callers filter on it; returning the flag keeps the
+    * drop decision observable — SURVEY "no silent drops").
+    */
+  def gopherRepetitionFilter(df: DataFrame, textCol: String = "text",
+                             maxTop2Bp: Int = 2000,
+                             maxDup3Bp: Int = 2000): DataFrame =
+    repetitionStats(df, textCol)
+      .withColumn("keep",
+        col("top2_chars") * 10000 <= lit(maxTop2Bp).cast("long") * octet_length(col(textCol)) &&
+        col("dup3_chars") * 10000 <= lit(maxDup3Bp).cast("long") * octet_length(col(textCol)))
+
+  /** Deterministic Bernoulli-style sampling: keep a row iff the first
+    * 16 bits of md5(salt ':' key) fall below `keepOf65536`. Exactly
+    * `keepOf65536` of the 65536 hash buckets pass, so the expected rate
+    * is keepOf65536/65536 and the decision is a pure function of
+    * (salt, key): stable under retries, partitioning, and engine — the
+    * 4-hex-digit prefix compares identically as a string in Spark and
+    * ANSI SQL, no hex-to-int conversion needed.
+    */
+  def hashSample(df: DataFrame, keyCol: Column, keepOf65536: Int,
+                 salt: String = "s0"): DataFrame = {
+    require(keepOf65536 >= 0 && keepOf65536 <= 65536,
+      s"keepOf65536 out of range: $keepOf65536")
+    df.filter(hashBucket(keyCol, salt) < lit(thresholdHex(keepOf65536)))
+  }
+
+  /** 4-hex-digit exclusive upper bound for a /65536 keep rate. 65536
+    * must pass EVERY bucket: f"%04x" would give "10000", which sorts
+    * BELOW "ffff" as a string — use "g" (> every hex digit) instead.
+    */
+  private def thresholdHex(keepOf65536: Int): String =
+    if (keepOf65536 >= 65536) "g" else f"$keepOf65536%04x"
+
+  private def hashBucket(keyCol: Column, salt: String): Column =
+    substring(md5(concat(lit(salt + ":"), keyCol.cast("string"))), 1, 4)
+
+  /** Stratified deterministic sampling: per-stratum keep rates (same
+    * /65536 units as [[hashSample]]). Rates travel as DATA through a
+    * broadcast join — at 100 TB the strata table is a handful of rows
+    * against a scan-wide filter, and rates can come from an upstream
+    * computation rather than code.
+    */
+  def hashSampleStratified(df: DataFrame, keyCol: Column, strataCol: Column,
+                           rates: Map[String, Int],
+                           salt: String = "s0"): DataFrame = {
+    rates.values.foreach(r => require(r >= 0 && r <= 65536, s"rate out of range: $r"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rdf = rates.toSeq.map { case (k, v) => (k, thresholdHex(v)) }
+      .toDF("__stratum", "__thr")
+    df.join(broadcast(rdf), strataCol === col("__stratum"))
+      .filter(hashBucket(keyCol, salt) < col("__thr"))
+      .drop("__stratum", "__thr")
+  }
+
+  /** Global token-budget selection: the maximal prefix of the corpus in
+    * (score DESC, id ASC) order whose running token sum stays within
+    * `budget` — the "take the best docs until the budget is full" step
+    * of corpus curation, deterministic ties included.
+    *
+    * Plan shape: ONE small aggregate (per-score token sums — requires a
+    * bounded score domain, e.g. basis points; `require`d at most
+    * `maxScoreCard` distinct values after the agg) is collected to pick
+    * the boundary score on the driver. Full buckets above the boundary
+    * pass as a plain scan filter; ONLY the boundary bucket's rows flow
+    * through a running-sum window (single-key partition — bounded by
+    * the corpus's one-score slice, the documented skew caveat; with a
+    * basis-point score that is 1/10001 of the corpus in expectation).
+    * No global sort, no corpus-wide single-reducer stage.
+    */
+  def selectToBudget(df: DataFrame, scoreCol: Column, tokenCol: Column,
+                     idCol: Column, budget: Long,
+                     maxScoreCard: Int = 100000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.groupBy(scoreCol.as("__score"))
+      .agg(sum(tokenCol.cast("long")).as("__tok"))
+      .collect()
+    require(hist.length <= maxScoreCard,
+      s"selectToBudget needs a bounded score domain: ${hist.length} distinct " +
+        s"scores > $maxScoreCard — bucket the score (e.g. basis points) first")
+    // sort by score descending; scores are whatever ordered type the
+    // caller passed — compare via Ordering on their natural encoding
+    val byScore = hist.sortBy(r => r.getAs[Any](0) match {
+      case n: java.lang.Number => -n.doubleValue()
+      case other => throw new IllegalArgumentException(
+        s"selectToBudget score must be numeric, got $other")
+    }).map(r => (r.getAs[Any](0), r.getLong(1)))
+    var cum = 0L
+    var boundary: Option[(Any, Long)] = None // (boundary score, budget already spent above it)
+    val it = byScore.iterator
+    while (it.hasNext && boundary.isEmpty) {
+      val (s, t) = it.next()
+      if (cum + t > budget) boundary = Some((s, cum)) else cum += t
+    }
+    boundary match {
+      case None => df // whole corpus fits
+      case Some((bScore, spentAbove)) =>
+        val full = df.filter(scoreCol > lit(bScore))
+        val w = Window.orderBy(idCol.asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val edge = df.filter(scoreCol === lit(bScore))
+          .withColumn("__cum", sum(tokenCol.cast("long")).over(w))
+          .filter(col("__cum") <= lit(budget - spentAbove))
+          .drop("__cum")
+        full.unionByName(edge)
+    }
+  }
+
+  /** Deterministic train/val/test split assignment: each row's split is
+    * a pure function of (salt, key) — the same row lands in the same
+    * split on every run, every engine, every cluster size, and the
+    * splits are disjoint BY CONSTRUCTION (consecutive ranges of the
+    * 65536 hash buckets [[hashSample]] uses). Weights are /65536 units
+    * and must sum exactly to 65536 so no bucket is unassigned — a row
+    * silently landing in no split would violate the no-silent-drop
+    * contract. Pure projection: shuffle-free, scan-speed.
+    *
+    * Because the bucket space is shared with [[hashSample]], a
+    * down-sampled corpus keeps its split proportions drift-free:
+    * sampling truncates the same hash order the splits partition.
+    */
+  def assignSplit(df: DataFrame, keyCol: Column,
+                  splits: Seq[(String, Int)],
+                  salt: String = "s0"): DataFrame = {
+    require(splits.nonEmpty, "assignSplit needs at least one split")
+    require(splits.map(_._2.toLong).sum == 65536L,
+      s"split weights must sum to 65536, got ${splits.map(_._2).sum}")
+    require(splits.forall(_._2 > 0), "split weights must be positive")
+    val bucket = hashBucket(keyCol, salt)
+    val cums = splits.map(_._2).scanLeft(0)(_ + _).tail // cumulative upper bounds
+    val assigned = splits.init.zip(cums).foldRight(
+        lit(splits.last._1): Column) { case (((name, _), cum), rest) =>
+      when(bucket < lit(thresholdHex(cum)), name).otherwise(rest)
+    }
+    df.withColumn("split", assigned)
+  }
+
+  // PII patterns — RE2-safe (no backreferences/lookarounds) so the same
+  // pattern string runs in Spark (java.util.regex) and DuckDB (RE2)
+  // with identical matches; replacement order matters (emails contain
+  // digits and dots, IPs contain digit runs) and is fixed below.
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val DigitRunPattern = "[0-9]{4,}"
+
+  /** PII redaction: mask emails, IPv4 addresses, and long digit runs
+    * (phone/account-number shaped) with typed placeholders, and report
+    * per-row match counts (counts are taken BEFORE masking, on the
+    * original text). Pure `regexp_replace`/`regexp_extract_all`
+    * projection: codegen'd, shuffle-free, scan-speed.
+    */
+  def redactPii(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails", size(regexp_extract_all(t, lit(EmailPattern), lit(0))))
+      .withColumn("n_ips", size(regexp_extract_all(t, lit(Ipv4Pattern), lit(0))))
+      .withColumn(textCol,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, EmailPattern, "[EMAIL]"),
+            Ipv4Pattern, "[IP]"),
+          DigitRunPattern, "[NUM]"))
+  }
+}

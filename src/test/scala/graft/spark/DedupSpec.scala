@@ -20,6 +20,45 @@ class DedupSpec extends SparkTestBase {
     assert(groups.count(_.getLong(1) == 1) == 450)
   }
 
+  test("incremental dedup vs persisted hash index: batch-new texts only, then the append loop closes") {
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0).select(col("doc_id"), col("text"))
+    Dedup.writeHashIndex(corpus, "dedup_idx_spec", nBuckets = 8)
+    // batch: half overlaps the corpus, plus two genuinely new texts, one duplicated in-batch
+    val batch = docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("text"))
+      .unionByName(Seq((900001L, "brand new text one"), (900002L, "brand new text one"),
+        (900003L, "brand new text two")).toDF("doc_id", "text"))
+    // force the sort-merge shape the gate asserts (at scale the index is
+    // far above any broadcast threshold; locally it would be broadcast
+    // and the bucketed layout legitimately unused)
+    val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val got = try {
+      val g = Dedup.newAgainstIndex(spark, "dedup_idx_spec", batch)
+      g.collect(); g
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+    val gotRows = got.select($"doc_id", $"text").as[(Long, String)].collect().toSet
+    // reference: distinct batch texts not in corpus, min-id survivor
+    val corpusTexts = corpus.select($"text").as[String].collect().toSet
+    val want = batch.select($"doc_id", $"text").as[(Long, String)].collect()
+      .groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+      .collect { case (t, id) if !corpusTexts.contains(t) => (id, t) }.toSet
+    assert(gotRows == want)
+    assert(gotRows.exists(_._1 == 900001L) && !gotRows.exists(_._1 == 900002L))
+    // plan gate: the index side is read through its bucketed layout —
+    // no corpus-side exchange, corpus text never scanned (hashes only)
+    val p = got.queryExecution.executedPlan.toString
+    val fin = p.indexOf("== Initial Plan ==") match {
+      case -1 => p; case i => p.substring(0, i)
+    }
+    assert(fin.linesIterator.exists(_.contains("Bucketed: true")),
+      "the hash index must be read through its bucketed layout")
+    // the incremental loop: append the accepted hashes, re-run -> empty
+    got.select(md5($"text").as("text_hash"))
+      .write.mode("append").bucketBy(8, "text_hash").sortBy("text_hash")
+      .format("parquet").saveAsTable("dedup_idx_spec")
+    assert(Dedup.newAgainstIndex(spark, "dedup_idx_spec", batch).isEmpty)
+  }
+
   test("LSH near-dup recall: every injected append-one-word sibling is found") {
     val withP = Dedup.withPerturbed(docs)
     val pairs = Dedup.nearDupPairs(withP, simThreshold = 0.8)

@@ -1,0 +1,155 @@
+package graft.spark
+
+import org.apache.spark.sql.functions._
+
+/** Contracts for the corpus-quality operators: repetition stats match a
+  * brute-force reference (ties and unicode included), hash sampling is
+  * deterministic/monotone/exact-rate-bounded, token-budget selection
+  * equals the global prefix rule, PII redaction masks and counts.
+  */
+class FilteringSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def mkDocs(texts: Seq[String]) =
+    spark.createDataset(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+      .toDF("doc_id", "text")
+
+  /** Brute-force reference for [[Filtering.repetitionStats]]. */
+  private def bruteStats(t: String): (Int, Long, Long) = {
+    val ws = t.split(" ", -1)
+    def grams(n: Int): Seq[String] =
+      if (ws.length < n) Seq.empty
+      else ws.sliding(n).map(_.mkString(" ")).toSeq
+    def bytes(s: String): Long = s.getBytes("UTF-8").length.toLong
+    val g2 = grams(2)
+    val top =
+      if (g2.isEmpty) 0L
+      else {
+        val (g, c) = g2.groupBy(identity).view.mapValues(_.size).toSeq
+          .minBy { case (gram, cnt) => (-cnt, gram) } // max count, lexicographically smallest
+        if (c < 2) 0L else c * bytes(g) // a count-1 gram is not repetition
+      }
+    val dup = grams(3).groupBy(identity)
+      .collect { case (g, occ) if occ.size >= 2 => occ.size * bytes(g) }
+      .sum
+    (ws.length, top, dup)
+  }
+
+  test("repetitionStats matches brute force on random, repetitive, and unicode texts") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Array("alpha", "beta", "gamma", "dd", "e")
+    val texts = Seq.tabulate(60)(_ =>
+        Seq.fill(rnd.nextInt(40) + 1)(vocab(rnd.nextInt(vocab.length))).mkString(" ")) ++
+      Seq("", "one", "x x x x x", "a b a b a b a b",
+        "héllo wörld héllo wörld héllo", // UTF-8 multibyte: counts are BYTES
+        "p q r s t u v w")              // no repetition at all
+    val out = Filtering.repetitionStats(mkDocs(texts))
+      .select($"doc_id", $"n_words", $"top2_chars", $"dup3_chars")
+      .as[(Long, Int, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(out(i.toLong) == bruteStats(t), s"doc $i: '$t'")
+    }
+  }
+
+  test("gopherRepetitionFilter drops repetitive docs, keeps diverse ones, observable flag") {
+    val texts = Seq(
+      "spam spam spam spam spam spam",          // all duplicate grams -> drop
+      "the quick brown fox jumps over the lazy dog") // no dup grams -> keep
+    val flags = Filtering.gopherRepetitionFilter(mkDocs(texts))
+      .select($"doc_id", $"keep").as[(Long, Boolean)].collect().toMap
+    assert(!flags(0L) && flags(1L))
+  }
+
+  test("hashSample: deterministic, monotone in rate, exact at the extremes, near-rate") {
+    val ids = spark.range(0, 20000).toDF("doc_id")
+    def kept(n: Int): Set[Long] =
+      Filtering.hashSample(ids, col("doc_id"), n).as[Long].collect().toSet
+    assert(kept(0).isEmpty)
+    assert(kept(65536).size == 20000)
+    val k10 = kept(6554)  // ~10%
+    assert(kept(6554) == k10, "same salt+rate must select the same rows")
+    assert(kept(3277).subsetOf(k10), "lower rate must select a subset")
+    assert(math.abs(k10.size / 20000.0 - 0.1) < 0.01, s"rate off: ${k10.size}")
+    // a different salt draws an (almost surely) different sample
+    val other = Filtering.hashSample(ids, col("doc_id"), 6554, salt = "s1")
+      .as[Long].collect().toSet
+    assert(other != k10)
+  }
+
+  test("hashSampleStratified equals per-stratum hashSample") {
+    val df = spark.range(0, 5000).toDF("doc_id")
+      .withColumn("lang", when(col("doc_id") % 3 === 0, "en").otherwise("de"))
+    val rates = Map("en" -> 32768, "de" -> 6554)
+    val got = Filtering.hashSampleStratified(df, col("doc_id"), col("lang"), rates)
+      .select($"doc_id").as[Long].collect().toSet
+    val want = rates.map { case (lang, r) =>
+      Filtering.hashSample(df.filter(col("lang") === lang), col("doc_id"), r)
+        .select($"doc_id").as[Long].collect().toSet
+    }.reduce(_ union _)
+    assert(got == want)
+  }
+
+  test("selectToBudget equals the global (score DESC, id ASC) prefix rule") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.tabulate(500)(i => (i.toLong, rnd.nextInt(10), rnd.nextInt(20) + 1))
+    val df = rows.toDF("doc_id", "score", "tok")
+    for (budget <- Seq(0L, 37L, 1000L, 2500L, 1000000L)) {
+      val got = Filtering.selectToBudget(df, col("score"), col("tok"), col("doc_id"), budget)
+        .select($"doc_id").as[Long].collect().toSet
+      var cum = 0L
+      val want = rows.sortBy { case (id, s, _) => (-s, id) }
+        .iterator.takeWhile { case (_, _, t) => cum += t; cum <= budget }
+        .map(_._1).toSet
+      assert(got == want, s"budget $budget")
+    }
+  }
+
+  test("selectToBudget refuses an unbounded score domain") {
+    val df = spark.range(0, 1000).toDF("doc_id")
+      .withColumn("score", col("doc_id")).withColumn("tok", lit(1))
+    intercept[IllegalArgumentException] {
+      Filtering.selectToBudget(df, col("score"), col("tok"), col("doc_id"),
+        100L, maxScoreCard = 10)
+    }
+  }
+
+  test("assignSplit: disjoint-exhaustive, hashSample-prefix-consistent, near-rate, fail-loud weights") {
+    val ids = spark.range(0, 20000).toDF("doc_id")
+    val splits = Seq("train" -> 58982, "val" -> 3277, "test" -> 3277)
+    val out = Filtering.assignSplit(ids, col("doc_id"), splits, salt = "g")
+      .select($"doc_id", $"split").as[(Long, String)].collect()
+    assert(out.length == 20000, "every row must get a split (exhaustive)")
+    val byName = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byName.keySet == Set("train", "val", "test"))
+    // split ranges are prefixes of the SAME bucket order hashSample uses:
+    // train == sample@58982; train+val == sample@62259
+    val s1 = Filtering.hashSample(ids, col("doc_id"), 58982, salt = "g")
+      .select($"doc_id").as[Long].collect().toSet
+    val s2 = Filtering.hashSample(ids, col("doc_id"), 62259, salt = "g")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(byName("train") == s1)
+    assert(byName("train") ++ byName("val") == s2)
+    assert(math.abs(byName("train").size / 20000.0 - 0.9) < 0.01)
+    intercept[IllegalArgumentException] { // weights must cover all 65536 buckets
+      Filtering.assignSplit(ids, col("doc_id"), Seq("a" -> 1000, "b" -> 1000))
+    }
+  }
+
+  test("redactPii masks emails, IPs, digit runs; counts precede masking; clean text untouched") {
+    val texts = Seq(
+      "write to alice.smith+x@mail.example.org today",
+      "server at 10.0.255.3 and 192.168.1.1 responded",
+      "ref 123456 and pin 9999 but not 123",
+      "nothing sensitive here at all",
+      "bob@ex.co from 8.8.8.8 acct 55551234")
+    val out = Filtering.redactPii(mkDocs(texts))
+      .select($"doc_id", $"text", $"n_emails", $"n_ips")
+      .as[(Long, String, Int, Int)].collect().sortBy(_._1)
+    assert(out(0)._2 == "write to [EMAIL] today" && out(0)._3 == 1 && out(0)._4 == 0)
+    assert(out(1)._2 == "server at [IP] and [IP] responded" && out(1)._4 == 2)
+    assert(out(2)._2 == "ref [NUM] and pin [NUM] but not 123")
+    assert(out(3)._2 == texts(3) && out(3)._3 == 0 && out(3)._4 == 0)
+    assert(out(4)._2 == "[EMAIL] from [IP] acct [NUM]" && out(4)._3 == 1 && out(4)._4 == 1)
+  }
+}
