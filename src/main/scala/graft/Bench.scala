@@ -115,9 +115,10 @@ object Bench {
     * appends the end-to-end corpus dedup (exact tier + LSH -> verify ->
     * components -> survivor), partial-inclusion contamination, and the
     * end-to-end curation composition (redact -> Gopher filter -> dedup
-    * -> sample -> budget -> split) — per-query numbers stay comparable
-    * across rounds; the `total` line covers 26 queries from round 5 on
-    * (23 in round 4, 18 in round 3, 16 before).
+    * -> sample -> budget -> split), corpus-wide paragraph-level dedup,
+    * and the deterministic training-order materialization — per-query
+    * numbers stay comparable across rounds; the `total` line covers 28
+    * queries from round 5 on (23 in round 4, 18 in round 3, 16 before).
     */
   val headline: Seq[String] = Seq(
     "q_pipeline_extract", "q_pipeline_onepass", "q_pipeline_extractfirst",
@@ -127,7 +128,8 @@ object Bench {
     "q_media_features", "q_token_count", "q_sessionize_skewsafe",
     "q_sketch_users", "q_contamination", "q_conversations_bytecapped",
     "q_chunked", "q_packed", "q_training_pipeline",
-    "q_dedup_corpus", "q_contamination_partial", "q_curation_pipeline")
+    "q_dedup_corpus", "q_contamination_partial", "q_curation_pipeline",
+    "q_paragraph_dedup", "q_training_order")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

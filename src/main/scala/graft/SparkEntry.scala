@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.spark.{Chunking, Dedup, Embeddings, Events, Filtering, HtmlFunctions => H, Multimodal, Packing, Pipeline, Transcripts}
+import graft.spark.{Chunking, Dedup, Embeddings, Events, Filtering, HtmlFunctions => H, Mixing, Multimodal, Packing, Pipeline, Transcripts}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -910,6 +910,82 @@ object SparkEntry {
           Seq("train" -> 58982, "val" -> 3277, "test" -> 3277), salt = "split")
         .select(col("doc_id"), col("score"), col("tok"), col("split"))
     }),
+    // decontamination as a corpus TRANSFORM (flag -> drop). The drop set
+    // must be SQL-predictable on the DOC side, and the driver corpus's
+    // tiny vocabulary makes natural full-containment real (measured: 6
+    // extra drops at sf0.001 — short docs' whole fingerprint sets occur
+    // in other docs by chance), so this query uses the same planted-
+    // universe trick as q_dedup_corpus: each doc's text is 20 words
+    // unique to it by construction (md5(doc_id:j)), cross-doc
+    // fingerprint sharing is impossible, test set = verbatim copies of
+    // doc_id%10==0 docs + disjoint-salt noise docs => dropped docs ==
+    // exactly the %10==0 sources
+    "q_decontaminated" -> ((s, dir) => {
+      val mkText = (salt: String) => array_join(
+        transform(sequence(lit(1), lit(20)),
+          j => md5(concat(lit(salt), col("doc_id"), lit(":"), j))), " ")
+      val corpus = docs(s, dir).select(col("doc_id"), mkText("").as("text"))
+      val planted = corpus.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + lit(5000000L)).as("doc_id"), col("text"))
+      val clean = docs(s, dir).filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + lit(6000000L)).as("doc_id"), mkText("x").as("text"))
+      Dedup.decontaminatedCorpus(corpus, planted.unionByName(clean))
+        .select(col("doc_id"), col("text"))
+    }),
+    // per-domain token-budget selection (mixture curation): each lang
+    // keeps its best-scored prefix up to its own budget; the histogram
+    // plan must reproduce the per-domain global running-sum rule
+    "q_budget_mixture" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("lang"),
+        (octet_length(col("text")) % 997).cast("int").as("score"),
+        (lit(1) + octet_length(col("text"))
+          - octet_length(translate(col("text"), " ", ""))).cast("int").as("tok"))
+      Filtering.selectToBudgetByDomain(d, col("lang"), col("score"),
+        col("tok"), col("doc_id"),
+        Map("en" -> 3000L, "de" -> 2000L, "fr" -> 1500L,
+          "es" -> 1500L, "zh" -> 1000L))
+    }),
+    // corpus-wide PARAGRAPH-level exact dedup (MassiveText-style): the
+    // corpus gets deterministic paragraph structure planted — every doc
+    // keeps its own text as paragraph 0, doc_id%4==0 docs append a
+    // shared boilerplate paragraph 'boiler <doc_id%3>' (3 distinct
+    // paragraphs, each duplicated across ~SF*125 docs), doc_id%10==0
+    // docs append an empty paragraph (doubled separator). The oracle
+    // replays the construction and the first-occurrence-by-(doc_id,
+    // idx) rule; survivors: boiler k first appears in the smallest
+    // doc_id%4==0 doc with doc_id%3==k, the empty paragraph in doc 0...
+    // all SQL-predictable
+    "q_paragraph_dedup" -> ((s, dir) => {
+      val structured = docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0,
+            concat(lit("\nboiler "), (col("doc_id") % 3).cast("string")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 10 === 0, lit("\n")).otherwise(lit("")))
+          .as("text"))
+      Dedup.paragraphDedup(structured)
+        .select(col("doc_id"), col("text"), col("n_paras"), col("n_kept"))
+    }),
+    // per-domain epoch upsampling: repeat factors travel as a broadcast
+    // rates table; epoch ∈ [1, repeats(lang)]
+    "q_epoch_mix" -> ((s, dir) =>
+      Mixing.epochMix(docs(s, dir).select(col("doc_id"), col("lang")),
+          col("lang"),
+          Map("en" -> 3, "de" -> 2, "fr" -> 1, "es" -> 1, "zh" -> 2))
+        .select(col("doc_id"), col("lang"), col("epoch"))),
+    // deterministic global training order: epoch mix -> md5 order key
+    // over the unique (doc_id, epoch) copy key -> 16 hex-prefix shards,
+    // within-shard rank. Reading shards in shard order and rows in ord
+    // order IS the (reproducible) training order.
+    "q_training_order" -> ((s, dir) => {
+      val mixed = Mixing.epochMix(docs(s, dir).select(col("doc_id"), col("lang")),
+        col("lang"),
+        Map("en" -> 3, "de" -> 2, "fr" -> 1, "es" -> 1, "zh" -> 2))
+      Mixing.trainingOrder(mixed,
+          concat(col("doc_id"), lit(":"), col("epoch")),
+          shardHexDigits = 1, salt = "graft")
+        .select(col("doc_id"), col("epoch"), col("shard"), col("ord"))
+    }),
     // ===== similarity search over embeddings ==============================
     "q_embed_topk" -> ((s, dir) =>
       Embeddings.bruteForceTopK(emb(s, dir), k = 5, nQueries = 10)),
@@ -1722,6 +1798,64 @@ object SparkEntry {
           |  WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'f333' THEN 'val'
           |  ELSE 'test' END AS split
           |FROM r WHERE cum <= 6000""".stripMargin.replace("\n", " "),
+      "q_decontaminated" ->
+        """SELECT doc_id,
+          |  (SELECT string_agg(md5('' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), ' ' ORDER BY i)
+          |   FROM generate_series(1, 20) AS s(i)) AS text
+          |FROM documents WHERE doc_id % 10 <> 0""".stripMargin.replace("\n", " "),
+      "q_budget_mixture" ->
+        """WITH t AS (SELECT doc_id, lang, CAST(strlen(text) % 997 AS INT) AS score,
+          |  CAST(1 + strlen(text) - strlen(replace(text, ' ', '')) AS INT) AS tok
+          |  FROM documents),
+          |r AS (SELECT doc_id, lang, score, tok,
+          |  sum(tok) OVER (PARTITION BY lang ORDER BY score DESC, doc_id ASC
+          |    ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+          |SELECT doc_id, lang, score, tok FROM r WHERE cum <= CASE lang
+          |  WHEN 'en' THEN 3000 WHEN 'de' THEN 2000 WHEN 'fr' THEN 1500
+          |  WHEN 'es' THEN 1500 WHEN 'zh' THEN 1000 END"""
+          .stripMargin.replace("\n", " "),
+      // paragraph-level dedup: replay the planted paragraph structure
+      // (<= 3 paragraphs per doc by construction, series bound 8), the
+      // first-occurrence-by-(doc_id, idx) winner rule, and the ordered
+      // reassembly; string_agg skips the NULLed-out losers exactly as
+      // Spark's array_join skips nulls, and COALESCE('') matches
+      // array_join's empty result for a doc that lost every paragraph
+      "q_paragraph_dedup" ->
+        """WITH src AS (SELECT doc_id, text
+          |  || CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'boiler ' || CAST(doc_id % 3 AS VARCHAR) ELSE '' END
+          |  || CASE WHEN doc_id % 10 = 0 THEN chr(10) ELSE '' END AS text
+          |  FROM documents),
+          |w AS (SELECT doc_id, string_split(text, chr(10)) AS ps FROM src),
+          |n AS (SELECT i FROM generate_series(1, 8) AS s(i)),
+          |p AS (SELECT doc_id, n.i AS idx, ps[n.i] AS para FROM w JOIN n ON n.i <= len(ps)),
+          |k AS (SELECT doc_id, idx, para,
+          |  row_number() OVER (PARTITION BY para ORDER BY doc_id ASC, idx ASC) = 1 AS keep
+          |  FROM p)
+          |SELECT doc_id,
+          |  COALESCE(string_agg(CASE WHEN keep THEN para END, chr(10) ORDER BY idx), '') AS text,
+          |  CAST(count(*) AS BIGINT) AS n_paras,
+          |  CAST(COALESCE(sum(CASE WHEN keep THEN 1 END), 0) AS BIGINT) AS n_kept
+          |FROM k GROUP BY doc_id""".stripMargin.replace("\n", " "),
+      "q_epoch_mix" ->
+        """SELECT doc_id, lang, CAST(s.i AS INT) AS epoch FROM documents
+          | JOIN generate_series(1, 3) AS s(i)
+          |  ON s.i <= CASE lang WHEN 'en' THEN 3 WHEN 'de' THEN 2 WHEN 'zh' THEN 2 ELSE 1 END"""
+          .stripMargin.replace("\n", ""),
+      // the reproducible-training-order contract: shard = first hex
+      // digit of md5('graft:' || doc_id || ':' || epoch), ord = rank of
+      // the full md5 within the shard (ties impossible: copy keys are
+      // unique and the key itself is the final tiebreak)
+      "q_training_order" ->
+        """WITH m AS (SELECT doc_id, CAST(s.i AS INT) AS epoch FROM documents
+          |  JOIN generate_series(1, 3) AS s(i)
+          |   ON s.i <= CASE lang WHEN 'en' THEN 3 WHEN 'de' THEN 2 WHEN 'zh' THEN 2 ELSE 1 END),
+          |o AS (SELECT doc_id, epoch,
+          |  CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR) AS k,
+          |  md5('graft:' || CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)) AS ok
+          |  FROM m)
+          |SELECT doc_id, epoch, substring(ok, 1, 1) AS shard,
+          |  CAST(row_number() OVER (PARTITION BY substring(ok, 1, 1) ORDER BY ok ASC, k ASC) AS INT) AS ord
+          |FROM o""".stripMargin.replace("\n", " "),
       "q_media_features" ->
         "SELECT doc_id, 18 AS n_dims FROM documents",
       "q_frame_sample" ->

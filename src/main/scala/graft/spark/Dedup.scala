@@ -713,4 +713,95 @@ object Dedup {
       .select(col(s"w.$idCol").as(idCol), col("text_hash"), col("w.text").as("text"))
     inBatch.join(spark.table(indexTable), Seq("text_hash"), "left_anti")
   }
+
+  /** Decontamination as a corpus transform — the flag→DROP composition
+    * that closes the loop [[contamination]]/[[contaminationPartial]]
+    * open: remove from the corpus every document flagged as containing
+    * test-set material, and keep the removal observable (the flagged
+    * (test_id, doc_id) pairs are what an eval-integrity audit wants,
+    * so callers needing them run the flag stage directly).
+    *
+    * `minRatio = 1.0` is full containment ([[contamination]]); below it
+    * the partial-inclusion regime ([[contaminationPartial]]). The drop
+    * is a left_anti join on doc_id against the DISTINCT flagged doc set
+    * — full-width corpus rows move only in that final join (shuffle-free
+    * corpus side if the corpus is stored bucketed on doc_id); everything
+    * upstream handles fingerprints and ids only.
+    */
+  def decontaminatedCorpus(corpus: DataFrame, testSet: DataFrame,
+                           minRatio: Double = 1.0,
+                           maxDocFreq: Int = DefaultMaxFingerprintDocFreq): DataFrame = {
+    val flagged =
+      if (minRatio >= 1.0) contamination(corpus, testSet, maxDocFreq)
+      else contaminationPartial(corpus, testSet, minRatio, maxDocFreq)
+    corpus.join(flagged.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+  }
+
+  /** Corpus-wide PARAGRAPH-level exact dedup (the MassiveText /
+    * RefinedWeb "remove duplicated paragraphs across documents" stage —
+    * doc-level dedup misses boilerplate that repeats INSIDE otherwise
+    * distinct pages). A paragraph keeps its first occurrence in
+    * (doc_id, paragraph index) order and is removed everywhere else;
+    * documents are reassembled from their surviving paragraphs in
+    * original order. Empty paragraphs (from doubled separators) are
+    * treated uniformly — they dedup like any other paragraph, so the
+    * output is a pure function of the corpus, not of a skip-list.
+    *
+    * Every input document stays in the output (no silent row drops): a
+    * document whose every paragraph lost is an empty-text row with its
+    * `n_paras`/`n_kept` counters telling the story.
+    *
+    * Scale shape (the 100 TB plan):
+    *  1. posexplode(split) — shuffle-free, scan-speed;
+    *  2. winner per paragraph = ONE hash aggregate of min(packed
+    *     (doc_id, idx)) keyed by md5(para) — the occurrence coordinate
+    *     is PACKED into a single BIGINT (doc_id << 21 | idx, loud
+    *     range guards below) precisely so the min is a codegen'd
+    *     HashAggregate with map-side partials; min over the
+    *     struct/string encodings is not hash-aggregable and planned a
+    *     per-partition SORT of the whole gram table. Paragraph text
+    *     does NOT cross this exchange — only (16-byte hash, 8-byte
+    *     coordinate);
+    *  3. exploded rows join winners on the hash — paragraph text
+    *     crosses exactly one exchange, as a plain hash join (no sort;
+    *     a hot boilerplate paragraph colocates its copies but AQE skew
+    *     split applies — contrast a Window over the hash, which would
+    *     SORT the hot partition);
+    *  4. reassembly = one aggregate on doc_id; array_sort on the
+    *     collected (idx, keep, para) structs restores original order,
+    *     and array_join skips the NULLed-out losers.
+    */
+  def paragraphDedup(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text",
+                     sep: String = "\n"): DataFrame = {
+    // packed occurrence coordinate: doc_id in the high 42 bits, idx in
+    // the low 21 — BIGINT ordering == (doc_id, idx) lexicographic.
+    // Out-of-range rows fail LOUDLY (a wrapped coordinate would pick a
+    // wrong winner silently): doc_id ∈ [0, 2^42) covers 4.4e12 docs,
+    // idx < 2^21 allows 2M paragraphs per doc.
+    val packed = when(
+      col(idCol) < 0L || col(idCol) >= (1L << 42) || col("idx") >= (1L << 21),
+      raise_error(concat(lit("paragraphDedup: coordinate out of packable range: "),
+        col(idCol).cast("string"), lit(":"), col("idx").cast("string"))).cast("long"))
+      .otherwise(shiftleft(col(idCol).cast("long"), 21) + col("idx"))
+    val exploded = docs
+      .select(col(idCol),
+        posexplode(split(coalesce(col(textCol), lit("")), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("idx", "para")))
+      .withColumn("h", md5(col("para")))
+      .withColumn("pk", packed)
+    val winners = exploded
+      .groupBy(col("h"))
+      .agg(min(col("pk")).as("w"))
+    exploded.join(winners, Seq("h"))
+      .withColumn("keep", col("pk") === col("w"))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("idx"), col("keep"), col("para")))),
+          x => when(x("keep"), x("para")).otherwise(lit(null).cast("string"))
+        ), sep).as(textCol),
+        count(lit(1)).as("n_paras"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+  }
 }

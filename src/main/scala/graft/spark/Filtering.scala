@@ -215,6 +215,85 @@ object Filtering {
     }
   }
 
+  /** Per-domain token-budget selection — the mixture-curation step:
+    * each domain independently keeps its best-scored prefix (score
+    * DESC, id ASC) up to its own token budget, so the output hits a
+    * target mixture (e.g. 40% web / 30% code / 30% dialogue by tokens)
+    * exactly, deterministically, ties included. A domain present in
+    * the data but absent from `budgets` fails LOUDLY (a silent
+    * keep-all or drop-all would both corrupt the mixture).
+    *
+    * Plan shape generalizes [[selectToBudget]]: ONE small (domain,
+    * score) histogram aggregate decides every domain's boundary score
+    * on the driver; full buckets pass as a single CASE-folded scan
+    * filter; only the per-domain boundary-score slices flow through a
+    * window PARTITIONED BY DOMAIN (each partition is one domain's one
+    * score bucket). No global sort, no corpus-wide single-reducer
+    * stage, one corpus scan per side (full + boundary).
+    */
+  def selectToBudgetByDomain(df: DataFrame, domainCol: Column,
+                             scoreCol: Column, tokenCol: Column,
+                             idCol: Column, budgets: Map[String, Long],
+                             maxScoreCard: Int = 100000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgets.nonEmpty, "selectToBudgetByDomain needs at least one budget")
+    budgets.values.foreach(b => require(b >= 0, s"budget must be >= 0, got $b"))
+    val hist = df.groupBy(domainCol.as("__dom"), scoreCol.as("__score"))
+      .agg(sum(tokenCol.cast("long")).as("__tok"))
+      .collect()
+    require(hist.length <= maxScoreCard,
+      s"selectToBudgetByDomain needs a bounded (domain, score) domain: " +
+        s"${hist.length} distinct pairs > $maxScoreCard — bucket the score first")
+    val unbudgeted = hist.map(_.getAs[String](0)).distinct.filterNot(budgets.contains)
+    require(unbudgeted.isEmpty,
+      s"domains present in the data but missing a budget: ${unbudgeted.mkString(", ")}")
+    def scoreKey(v: Any): Double = v match {
+      case n: java.lang.Number => n.doubleValue()
+      case other => throw new IllegalArgumentException(
+        s"selectToBudgetByDomain score must be numeric, got $other")
+    }
+    // per domain: walk the histogram best-score-first; None = the whole
+    // domain fits its budget
+    val boundaries: Map[String, Option[(Any, Long)]] =
+      hist.groupBy(_.getAs[String](0)).map { case (dom, rows) =>
+        val byScore = rows.sortBy(r => -scoreKey(r.getAs[Any](1)))
+          .map(r => (r.getAs[Any](1), r.getLong(2)))
+        var cum = 0L
+        var boundary: Option[(Any, Long)] = None
+        val it = byScore.iterator
+        while (it.hasNext && boundary.isEmpty) {
+          val (s, t) = it.next()
+          if (cum + t > budgets(dom)) boundary = Some((s, cum)) else cum += t
+        }
+        dom -> boundary
+      }
+    // full buckets: CASE-folded per-domain predicate over one scan
+    val fullCond = boundaries.foldLeft(lit(false)) {
+      case (acc, (dom, None)) => when(domainCol === lit(dom), lit(true)).otherwise(acc)
+      case (acc, (dom, Some((bScore, _)))) =>
+        when(domainCol === lit(dom), scoreCol > lit(bScore)).otherwise(acc)
+    }
+    val bounded = boundaries.collect { case (d, Some(b)) => (d, b) }
+    if (bounded.isEmpty) df.filter(fullCond)
+    else {
+      val edgeCond = bounded.foldLeft(lit(false)) {
+        case (acc, (dom, (bScore, _))) =>
+          when(domainCol === lit(dom), scoreCol === lit(bScore)).otherwise(acc)
+      }
+      val remaining = bounded.foldLeft(lit(null).cast("long")) {
+        case (acc, (dom, (_, spentAbove))) =>
+          when(domainCol === lit(dom), lit(budgets(dom) - spentAbove)).otherwise(acc)
+      }
+      val w = Window.partitionBy(domainCol).orderBy(idCol.asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val edge = df.filter(edgeCond)
+        .withColumn("__cum", sum(tokenCol.cast("long")).over(w))
+        .filter(col("__cum") <= remaining)
+        .drop("__cum")
+      df.filter(fullCond).unionByName(edge)
+    }
+  }
+
   /** Deterministic train/val/test split assignment: each row's split is
     * a pure function of (salt, key) — the same row lands in the same
     * split on every run, every engine, every cluster size, and the

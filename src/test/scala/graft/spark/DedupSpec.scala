@@ -414,6 +414,28 @@ class DedupSpec extends SparkTestBase {
       s"extra: ${(kept -- expected).take(5)}, missing: ${(expected -- kept).take(5)}")
   }
 
+  test("decontaminatedCorpus drops exactly the containing docs, full and partial regimes") {
+    // unique-word universe: no natural cross-doc fingerprint sharing
+    val corpus = spark.range(0, 60).toDF("doc_id")
+      .select(col("doc_id"), array_join(
+        transform(sequence(lit(1), lit(20)),
+          j => md5(concat(col("doc_id"), lit(":"), j))), " ").as("text"))
+    val testSet = corpus.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + lit(5000L)).as("doc_id"), col("text"))
+    val keptFull = Dedup.decontaminatedCorpus(corpus, testSet)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(keptFull == (0L until 60L).filter(_ % 10 != 0).toSet)
+    // partial regime: test docs = 60% prefix of the source + unique tail
+    val w = split(col("text"), " ")
+    val partial = corpus.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + lit(6000L)).as("doc_id"),
+        concat_ws(" ", array_join(slice(w, lit(1), lit(12)), " "),
+          md5(col("text"))).as("text"))
+    val keptPartial = Dedup.decontaminatedCorpus(corpus, partial, minRatio = 0.3)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(keptPartial == (0L until 60L).filter(_ % 10 != 0).toSet)
+  }
+
   test("contaminationPartial: planted partial inclusions flagged, noise docs never") {
     val corpus = docs.select(col("doc_id"), col("text"))
     val w = split(col("text"), " ")

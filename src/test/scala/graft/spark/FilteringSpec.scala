@@ -114,6 +114,31 @@ class FilteringSpec extends SparkTestBase {
     }
   }
 
+  test("selectToBudgetByDomain equals the per-domain prefix rule; fails loudly on a missing budget") {
+    val rnd = new scala.util.Random(13)
+    val doms = Array("web", "code", "chat")
+    val rows = Seq.tabulate(600)(i =>
+      (i.toLong, doms(rnd.nextInt(doms.length)), rnd.nextInt(8), rnd.nextInt(20) + 1))
+    val df = rows.toDF("doc_id", "dom", "score", "tok")
+    val budgets = Map("web" -> 700L, "code" -> 0L, "chat" -> 1000000L)
+    val got = Filtering.selectToBudgetByDomain(df, col("dom"), col("score"),
+        col("tok"), col("doc_id"), budgets)
+      .select($"doc_id").as[Long].collect().toSet
+    val want = doms.flatMap { d =>
+      var cum = 0L
+      rows.filter(_._2 == d).sortBy { case (id, _, s, _) => (-s, id) }
+        .iterator.takeWhile { case (_, _, _, t) => cum += t; cum <= budgets(d) }
+        .map(_._1)
+    }.toSet
+    assert(got == want)
+    assert(!got.exists(id => rows(id.toInt)._2 == "code")) // zero budget keeps nothing
+    assert(rows.filter(_._2 == "chat").map(_._1).toSet.subsetOf(got)) // whole domain fits
+    intercept[IllegalArgumentException] { // a budget-less domain must not pass silently
+      Filtering.selectToBudgetByDomain(df, col("dom"), col("score"),
+        col("tok"), col("doc_id"), Map("web" -> 10L, "code" -> 10L))
+    }
+  }
+
   test("assignSplit: disjoint-exhaustive, hashSample-prefix-consistent, near-rate, fail-loud weights") {
     val ids = spark.range(0, 20000).toDF("doc_id")
     val splits = Seq("train" -> 58982, "val" -> 3277, "test" -> 3277)
