@@ -921,14 +921,17 @@ object SparkEntry {
     // doc_id%10==0 docs + disjoint-salt noise docs => dropped docs ==
     // exactly the %10==0 sources
     "q_decontaminated" -> ((s, dir) => {
-      val mkText = (salt: String) => array_join(
-        transform(sequence(lit(1), lit(20)),
+      val mkText = (salt: String, n: Int) => array_join(
+        transform(sequence(lit(1), lit(n)),
           j => md5(concat(lit(salt), col("doc_id"), lit(":"), j))), " ")
-      val corpus = docs(s, dir).select(col("doc_id"), mkText("").as("text"))
+      val corpus = docs(s, dir).select(col("doc_id"), mkText("", 20).as("text"))
       val planted = corpus.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + lit(5000000L)).as("doc_id"), col("text"))
+      // noise docs need only be disjoint from the corpus universe — 2
+      // words suffice and keep the test-set winnow proportionate to
+      // q_contamination's noise shape
       val clean = docs(s, dir).filter(col("doc_id") % 10 === 5)
-        .select((col("doc_id") + lit(6000000L)).as("doc_id"), mkText("x").as("text"))
+        .select((col("doc_id") + lit(6000000L)).as("doc_id"), mkText("x", 2).as("text"))
       Dedup.decontaminatedCorpus(corpus, planted.unionByName(clean))
         .select(col("doc_id"), col("text"))
     }),

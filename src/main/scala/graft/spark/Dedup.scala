@@ -314,7 +314,16 @@ object Dedup {
     */
   def contamination(corpus: DataFrame, testSet: DataFrame,
                     maxDocFreq: Int = DefaultMaxFingerprintDocFreq): DataFrame =
-    contaminationFrom(fingerprintTable(corpus).distinct(), testSet, maxDocFreq)
+    // contaminationFrom consults the corpus fingerprints three times
+    // (doc-freq ranking, candidate postings, verification) — declarative,
+    // each consumer re-scans AND re-winnows the corpus (same plan-copy
+    // effect as connectedComponents' edges; measured 7.2 -> 3.9 s on the
+    // q_decontaminated composition at sf0.1). Materialize the bounded
+    // ids-only (doc_id, fingerprint) relation once; at corpus scale use
+    // [[contaminationAgainstIndex]], where the persisted bucketed index
+    // makes the re-reads cheap instead.
+    contaminationFrom(fingerprintTable(corpus).distinct().localCheckpoint(),
+      testSet, maxDocFreq)
 
   /** Build the PERSISTED corpus fingerprint index — the production shape
     * of [[contamination]] at 100 TB: winnowing the corpus is by far the
@@ -361,8 +370,17 @@ object Dedup {
 
   private def contaminationFrom(cfp: DataFrame, testSet: DataFrame,
                                 maxDocFreq: Int): DataFrame = {
+    // test side is consulted three times (totals, rarest-fp ranking, the
+    // verification join) and a test-set release is SMALL by definition —
+    // materialize its fingerprints once (same move as the partial
+    // regime; measured: the 3x re-winnow of a corpus-sized planted test
+    // set dominated q_decontaminated, 7.4 -> 4.4 s at sf0.1). This also
+    // empties the probe plan of winnows entirely, so DedupSpec's index
+    // gate asserts ZERO winnow nodes — any corpus re-winnow regression
+    // reappears as a plan line and fails the gate.
     val tfp = fingerprintTable(testSet).distinct()
       .withColumnRenamed("doc_id", "test_id")
+      .localCheckpoint()
     val dfreq = cfp.groupBy(col("fingerprint"))
       .agg(count(lit(1)).as("doc_freq"))
     val hot = dfreq.filter(col("doc_freq") > maxDocFreq).select(col("fingerprint"))

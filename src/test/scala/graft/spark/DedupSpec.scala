@@ -166,16 +166,20 @@ class DedupSpec extends SparkTestBase {
     val viaIndex = Dedup.contaminationAgainstIndex(spark, "contam_idx_spec", planted)
     viaIndex.collect()
     assert(viaIndex.as[(Long, Long, Long)].collect().toSet == direct)
-    // the production claim, plan-gated: probing the index winnows ONLY
-    // the test set (the corpus is never re-fingerprinted) and reads the
-    // index through its bucketed layout (no corpus-side exchange)
+    // the production claim, plan-gated: probing the index never
+    // re-fingerprints the CORPUS, and reads the index through its
+    // bucketed layout (no corpus-side exchange). The test set's one
+    // winnow happens at its materialization (contaminationFrom
+    // localCheckpoints the small test side), so the probe plan must
+    // contain ZERO winnow nodes — a corpus re-winnow regression would
+    // reappear as a plan line and fail here.
     val p = viaIndex.queryExecution.executedPlan.toString
     val fin = p.indexOf("== Initial Plan ==") match {
       case -1 => p
       case i  => p.substring(0, i)
     }
-    assert(fin.linesIterator.count(_.contains("winnow_fingerprints")) == 1,
-      "only the test set may be winnowed when probing the index")
+    assert(fin.linesIterator.count(_.contains("winnow_fingerprints")) == 0,
+      "the probe plan may not winnow anything (corpus is indexed, test set pre-materialized)")
     assert(fin.linesIterator.exists(_.contains("Bucketed: true")),
       "the index must be read through its bucketed layout")
   }
