@@ -528,6 +528,25 @@ object SparkEntry {
       val asg = Packing.packNextFit(chunks, capacity = 24, shard = col("doc_id"))
       Packing.sequences(chunks, asg)
     }),
+    // THE LAST MILE made concrete: packed training sequences (chunk ->
+    // next-fit pack -> reassembled seq_text) get their deterministic
+    // global training order — md5 order key over the unique
+    // (pack_shard, seq_idx) identity, 16 hex-prefix shards, within-shard
+    // rank. Reading shards in order and rows by ord IS the order the
+    // trainer consumes; the oracle replays chunking, the packing walk,
+    // sequence reassembly, AND the order assignment in one SQL
+    "q_ordered_shards" -> ((s, dir) => {
+      val chunks = Chunking.chunk(guardMaxWords(docs(s, dir), "text", 772),
+        maxTokens = 16, overlap = 4)
+      val asg = Packing.packNextFit(chunks, capacity = 24, shard = col("doc_id"))
+      val seqs = Packing.sequences(chunks, asg)
+        .withColumnRenamed("shard", "pack_shard")
+      Mixing.trainingOrder(seqs,
+          concat(col("pack_shard"), lit(":"), col("seq_idx")),
+          shardHexDigits = 1, salt = "graft")
+        .select(col("pack_shard"), col("seq_idx"), col("n_tokens"),
+          col("seq_text"), col("order_key"), col("shard"), col("ord"))
+    }),
     "q_langid" -> ((s, dir) => {
       val lang = udf((t: String) => graft.text.TextAnalysis.detectLanguage(t)._1)
       docs(s, dir).select(col("doc_id"), lang(col("text")).as("lang_detected"))
@@ -1583,6 +1602,42 @@ object SparkEntry {
           |  string_agg(tx.chunk_text, chr(10) ORDER BY walk.seq_pos) AS seq_text
           |FROM walk JOIN tx ON tx.doc_id = walk.doc_id AND tx.chunk_idx = walk.chunk_idx
           |GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+      // q_packed_sequences' full replay + the md5 training order over
+      // the unique (pack_shard, seq_idx) identity
+      "q_ordered_shards" ->
+        """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |c AS (SELECT doc_id, CAST(ceil(greatest(len(ws) - 4, 1) / 12.0) AS INT) AS nch,
+          |  len(ws) AS n FROM w),
+          |ch AS (SELECT doc_id, CAST(s.i AS INT) AS chunk_idx,
+          |  CAST(least(n - s.i*12, 16) AS INT) AS tok
+          |  FROM c JOIN generate_series(0, 63) AS s(i) ON s.i < c.nch),
+          |walk AS (
+          |  SELECT doc_id, chunk_idx, tok, CAST(0 AS BIGINT) AS seq_idx,
+          |    0 AS seq_pos, tok AS cum
+          |  FROM ch WHERE chunk_idx = 0
+          |  UNION ALL
+          |  SELECT ch.doc_id, ch.chunk_idx, ch.tok,
+          |    CASE WHEN walk.cum + ch.tok > 24 THEN walk.seq_idx + 1 ELSE walk.seq_idx END,
+          |    CASE WHEN walk.cum + ch.tok > 24 THEN 0 ELSE walk.seq_pos + 1 END,
+          |    CASE WHEN walk.cum + ch.tok > 24 THEN ch.tok ELSE walk.cum + ch.tok END
+          |  FROM walk JOIN ch ON ch.doc_id = walk.doc_id AND ch.chunk_idx = walk.chunk_idx + 1),
+          |tx AS (SELECT w.doc_id, CAST(s.i AS INT) AS chunk_idx,
+          |  array_to_string(ws[s.i*12+1 : s.i*12+16], ' ') AS chunk_text
+          |  FROM w JOIN c ON c.doc_id = w.doc_id
+          |  JOIN generate_series(0, 63) AS s(i) ON s.i < c.nch),
+          |seqs AS (SELECT CAST(walk.doc_id AS BIGINT) AS pack_shard, walk.seq_idx,
+          |  CAST(sum(walk.tok) AS BIGINT) AS n_tokens,
+          |  string_agg(tx.chunk_text, chr(10) ORDER BY walk.seq_pos) AS seq_text
+          |  FROM walk JOIN tx ON tx.doc_id = walk.doc_id AND tx.chunk_idx = walk.chunk_idx
+          |  GROUP BY 1, 2),
+          |o AS (SELECT pack_shard, seq_idx, n_tokens, seq_text,
+          |  CAST(pack_shard AS VARCHAR) || ':' || CAST(seq_idx AS VARCHAR) AS k,
+          |  md5('graft:' || CAST(pack_shard AS VARCHAR) || ':' || CAST(seq_idx AS VARCHAR)) AS ok
+          |  FROM seqs)
+          |SELECT pack_shard, seq_idx, n_tokens, seq_text, ok AS order_key,
+          |  substring(ok, 1, 1) AS shard,
+          |  CAST(row_number() OVER (PARTITION BY substring(ok, 1, 1) ORDER BY ok ASC, k ASC) AS INT) AS ord
+          |FROM o""".stripMargin.replace("\n", " "),
       "q_token_count" ->
         """SELECT doc_id, CAST(1 + length(text) - length(replace(text, ' ', '')) AS INT)
           | AS n_tokens FROM documents""".stripMargin.replace("\n", ""),
