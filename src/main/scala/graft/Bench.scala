@@ -129,7 +129,7 @@ object Bench {
     "q_sketch_users", "q_contamination", "q_conversations_bytecapped",
     "q_chunked", "q_packed", "q_training_pipeline",
     "q_dedup_corpus", "q_contamination_partial", "q_curation_pipeline",
-    "q_paragraph_dedup", "q_training_order")
+    "q_paragraph_dedup", "q_training_order", "q_ordered_shards")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -213,6 +213,19 @@ object SparkEntry {
       val extracted = Pipeline.extractOnScanPartitions(Transcripts.derive(s, dir))
       Pipeline.conversationsCapped(extracted, maxTurns = 1000, maxChars = 100L)
     }),
+    // training loss-mask spans: each turn's character span inside the
+    // reassembled conv_text plus in_loss (assistant turns only) — the
+    // role-masking step of transcript training, as spans over the
+    // reassembled artifact rather than a duplicated text column. role is
+    // re-attached by the generator's own turn_idx->role rule (extraction
+    // carries (conv_id, turn_idx, text) only); in production the role
+    // column rides the same projection. Exact oracle: running-sum window
+    // over the replayed per-turn extraction lengths.
+    "q_loss_mask" -> ((s, dir) => {
+      val extracted = Pipeline.extractOnScanPartitions(Transcripts.derive(s, dir))
+      Pipeline.lossMaskSpans(extracted.withColumn("role",
+        expr("CASE turn_idx % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END")))
+    }),
     // the one-exchange pipeline (range partition + in-partition sort):
     // same output, same oracle, half the shuffled text bytes
     "q_pipeline_onepass" -> ((s, dir) => {
@@ -1367,6 +1380,19 @@ object SparkEntry {
            | CAST(sum(length(x)) - coalesce(sum(CASE WHEN rn <= 1000 AND cum <= 100
            |   THEN length(x) END), 0) AS BIGINT) AS chars_dropped
            | FROM r GROUP BY conv_id""".stripMargin.replace("\n", ""),
+      // loss-mask spans: the same replayed per-turn extraction lengths,
+      // prefix-summed per conversation (separator = chr(10), length 1)
+      "q_loss_mask" ->
+        s"""$cte, m AS (SELECT conv_id, turn_idx, length($extractExpr) AS len FROM t)
+           |SELECT conv_id, turn_idx,
+           | CASE turn_idx % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+           |   ELSE 'tool' END AS role,
+           | CAST(coalesce(sum(len + 1) OVER w, 0) AS BIGINT) AS span_start,
+           | CAST(coalesce(sum(len + 1) OVER w, 0) + len AS BIGINT) AS span_end,
+           | (turn_idx % 3 = 1) AS in_loss
+           | FROM m WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+           |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"""
+          .stripMargin.replace("\n", ""),
       // end-to-end: conv_text rebuilt algebraically, same space-count
       // quality filter, same chunk slicing, same next-fit walk as a
       // recursive CTE (the WITH list is promoted to WITH RECURSIVE)

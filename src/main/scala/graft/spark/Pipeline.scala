@@ -277,6 +277,39 @@ object Pipeline {
           .as("conv_text"))
   }
 
+  /** Training loss-mask spans: for each turn, its character span
+    * [span_start, span_end) inside the reassembled `conv_text` of
+    * [[conversations]] (turns joined by a single "\n"), plus the
+    * `in_loss` flag — true only for `lossRoles` turns. This is the
+    * role-masking step of transcript training (compute loss only on
+    * assistant tokens): the trainer reads conv_text once and masks by
+    * span, so the mask never duplicates the text.
+    *
+    * Input must carry (conv_id, turn_idx, role, extracted_text).
+    * One exchange on conv_id + a per-conversation sort (the prefix sum
+    * is inherently ordered within the conversation); the window
+    * carries only (ids, role, one length) — the text itself never
+    * crosses this exchange. Span arithmetic is in characters, matching
+    * array_join's "\n" (length 1) separator exactly; PipelineSpec pins
+    * substring(conv_text, span) == extracted_text per turn.
+    */
+  def lossMaskSpans(turns: DataFrame,
+                    lossRoles: Seq[String] = Seq("assistant")): DataFrame = {
+    require(lossRoles.nonEmpty, "lossRoles must not be empty")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    turns
+      .select(col("conv_id"), col("turn_idx"), col("role"),
+        length(col("extracted_text")).cast("long").as("len"))
+      .withColumn("span_start",
+        coalesce(sum(col("len") + lit(1L)).over(w), lit(0L)))
+      .select(col("conv_id"), col("turn_idx"), col("role"),
+        col("span_start"),
+        (col("span_start") + col("len")).as("span_end"),
+        col("role").isin(lossRoles: _*).as("in_loss"))
+  }
+
   /** ONE-SHUFFLE extraction + reassembly: range-repartition the input on
     * (conv_id, turn_idx), extract, then sort within partitions — the
     * output is globally ordered by (conv_id, turn_idx) with NO second

@@ -190,6 +190,36 @@ class PipelineSpec extends SparkTestBase {
     } finally spark.conf.set(coalesceKey, prev)
   }
 
+  test("loss-mask spans tile conv_text exactly; in_loss == assistant turns") {
+    val df = spark.createDataset(quirkTurns).toDF()
+    val extracted = Pipeline.extractOnScanPartitions(df)
+    val withRole = extracted.withColumn("role",
+      expr("CASE turn_idx % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END"))
+    val spans = Pipeline.lossMaskSpans(withRole).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getString(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    val convText = Pipeline.conversations(extracted).collect()
+      .map(r => r.getAs[String]("conv_id") -> r.getAs[String]("conv_text")).toMap
+    val perTurn = extracted.collect()
+    assert(spans.size == perTurn.length)
+    perTurn.foreach { e =>
+      val (role, s, en, inLoss) = spans((e.conv_id, e.turn_idx))
+      val ct = convText(e.conv_id)
+      // the span cuts exactly this turn's extracted text out of conv_text
+      assert(ct.substring(s.toInt, en.toInt) == e.extracted_text,
+        s"span mismatch at ${e.conv_id}/${e.turn_idx}")
+      // separator accounting: span is followed by "\n" or ends the text
+      assert(en.toInt == ct.length || ct.charAt(en.toInt) == '\n')
+      assert(inLoss == (role == "assistant"))
+      assert(inLoss == (e.turn_idx % 3 == 1))
+    }
+    // spans of each conversation tile it completely (last span_end == len)
+    convText.foreach { case (cid, ct) =>
+      val ends = spans.collect { case ((c, _), (_, _, en, _)) if c == cid => en }
+      assert(ends.max == ct.length.toLong, s"tiling gap in $cid")
+    }
+  }
+
   test("conversations reassembly joins turns in order") {
     val df = spark.createDataset(quirkTurns).toDF()
     val convs = Pipeline.conversations(Pipeline.extractTurns(df))
