@@ -541,6 +541,21 @@ object SparkEntry {
       val asg = Packing.packNextFit(chunks, capacity = 24, shard = col("doc_id"))
       Packing.sequences(chunks, asg)
     }),
+    // CROSS-DOCUMENT packing with provenance lineage: shard = doc_id % 8
+    // puts many docs per shard, so the next-fit walk packs chunks from
+    // DIFFERENT documents into one context window (the production shape)
+    // and the provenance column maps every sequence back to its ordered
+    // "doc:chunk" sources — the trace a takedown / contamination audit
+    // replays. Oracle: the same recursive walk, keyed by a per-shard
+    // dense row_number instead of chunk_idx, plus an ordered string_agg
+    // of the provenance keys.
+    "q_packed_provenance" -> ((s, dir) => {
+      val chunks = Chunking.chunk(guardMaxWords(docs(s, dir), "text", 772),
+        maxTokens = 16, overlap = 4)
+      val asg = Packing.packNextFit(chunks, capacity = 48,
+        shard = pmod(col("doc_id"), lit(8)))
+      Packing.sequences(chunks, asg, withProvenance = true)
+    }),
     // THE LAST MILE made concrete: packed training sequences (chunk ->
     // next-fit pack -> reassembled seq_text) get their deterministic
     // global training order — md5 order key over the unique
@@ -1626,6 +1641,40 @@ object SparkEntry {
           |  CAST(count(*) AS BIGINT) AS n_chunks,
           |  CAST(sum(walk.tok) AS BIGINT) AS n_tokens,
           |  string_agg(tx.chunk_text, chr(10) ORDER BY walk.seq_pos) AS seq_text
+          |FROM walk JOIN tx ON tx.doc_id = walk.doc_id AND tx.chunk_idx = walk.chunk_idx
+          |GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+      // cross-doc walk: recursion advances a per-shard dense row_number
+      // (docs interleave within shard in (doc_id, chunk_idx) order)
+      "q_packed_provenance" ->
+        """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |c AS (SELECT doc_id, CAST(ceil(greatest(len(ws) - 4, 1) / 12.0) AS INT) AS nch,
+          |  len(ws) AS n FROM w),
+          |ch0 AS (SELECT doc_id, CAST(s.i AS INT) AS chunk_idx,
+          |  CAST(least(n - s.i*12, 16) AS INT) AS tok
+          |  FROM c JOIN generate_series(0, 63) AS s(i) ON s.i < c.nch),
+          |ch AS (SELECT doc_id % 8 AS shard, doc_id, chunk_idx, tok,
+          |  CAST(row_number() OVER (PARTITION BY doc_id % 8
+          |    ORDER BY doc_id, chunk_idx) AS INT) AS rn FROM ch0),
+          |walk AS (
+          |  SELECT shard, doc_id, chunk_idx, tok, rn, CAST(0 AS BIGINT) AS seq_idx,
+          |    0 AS seq_pos, tok AS cum
+          |  FROM ch WHERE rn = 1
+          |  UNION ALL
+          |  SELECT ch.shard, ch.doc_id, ch.chunk_idx, ch.tok, ch.rn,
+          |    CASE WHEN walk.cum + ch.tok > 48 THEN walk.seq_idx + 1 ELSE walk.seq_idx END,
+          |    CASE WHEN walk.cum + ch.tok > 48 THEN 0 ELSE walk.seq_pos + 1 END,
+          |    CASE WHEN walk.cum + ch.tok > 48 THEN ch.tok ELSE walk.cum + ch.tok END
+          |  FROM walk JOIN ch ON ch.shard = walk.shard AND ch.rn = walk.rn + 1),
+          |tx AS (SELECT w.doc_id, CAST(s.i AS INT) AS chunk_idx,
+          |  array_to_string(ws[s.i*12+1 : s.i*12+16], ' ') AS chunk_text
+          |  FROM w JOIN c ON c.doc_id = w.doc_id
+          |  JOIN generate_series(0, 63) AS s(i) ON s.i < c.nch)
+          |SELECT CAST(walk.shard AS BIGINT) AS shard, walk.seq_idx,
+          |  CAST(count(*) AS BIGINT) AS n_chunks,
+          |  CAST(sum(walk.tok) AS BIGINT) AS n_tokens,
+          |  string_agg(tx.chunk_text, chr(10) ORDER BY walk.seq_pos) AS seq_text,
+          |  string_agg(CAST(walk.doc_id AS VARCHAR) || ':' || CAST(walk.chunk_idx AS VARCHAR),
+          |    ',' ORDER BY walk.seq_pos) AS provenance
           |FROM walk JOIN tx ON tx.doc_id = walk.doc_id AND tx.chunk_idx = walk.chunk_idx
           |GROUP BY 1, 2""".stripMargin.replace("\n", " "),
       // q_packed_sequences' full replay + the md5 training order over

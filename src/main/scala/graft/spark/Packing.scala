@@ -88,18 +88,36 @@ object Packing {
     * boundary between packed samples. n_tokens is the true member sum
     * (chunks are independent samples — re-tokenizing the joined text
     * across a separator is not meaningful).
+    *
+    * `withProvenance` appends a lineage column: the member chunks'
+    * "doc_id:chunk_idx" keys in seq_pos order. When packing CROSSES
+    * document boundaries (a shard holding many docs — the production
+    * shape: real trainers pack unrelated samples into one context
+    * window), provenance is what maps a training sequence back to its
+    * source documents for audits, takedowns, and contamination
+    * tracebacks; it rides the same aggregation, costing no extra
+    * exchange.
     */
   def sequences(chunks: DataFrame, assignments: DataFrame,
-                idCol: String = "doc_id", sep: String = "\n"): DataFrame =
+                idCol: String = "doc_id", sep: String = "\n",
+                withProvenance: Boolean = false): DataFrame = {
+    val sorted = array_sort(collect_list(struct(col("seq_pos"),
+      col("chunk_text"), col("prov"))))
+    val aggs = Seq(
+      count(lit(1)).as("n_chunks"),
+      sum(col("n_tokens").cast("long")).as("n_tokens"),
+      array_join(transform(sorted, t => t.getField("chunk_text")), sep)
+        .as("seq_text")) ++
+      (if (withProvenance)
+        Seq(array_join(transform(sorted, t => t.getField("prov")), ",")
+          .as("provenance"))
+      else Nil)
     assignments
       .join(chunks.select(col(idCol), col("chunk_idx"), col("chunk_text")),
         Seq(idCol, "chunk_idx"))
+      .withColumn("prov",
+        concat(col(idCol).cast("string"), lit(":"), col("chunk_idx").cast("string")))
       .groupBy(col("shard"), col("seq_idx"))
-      .agg(count(lit(1)).as("n_chunks"),
-        sum(col("n_tokens").cast("long")).as("n_tokens"),
-        array_join(
-          transform(
-            array_sort(collect_list(struct(col("seq_pos"), col("chunk_text")))),
-            t => t.getField("chunk_text")),
-          sep).as("seq_text"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -68,6 +68,30 @@ class PackingSpec extends SparkTestBase {
       chunks.agg(sum(col("n_tokens"))).head().getLong(0))
   }
 
+  test("cross-doc packing interleaves docs within a shard; provenance replays membership in order") {
+    val docs = spark.createDataset(Seq(
+        (1L, (1 to 4).map("a" + _).mkString(" ")),
+        (3L, (1 to 4).map("b" + _).mkString(" ")),
+        (5L, (1 to 4).map("c" + _).mkString(" "))))
+      .toDF("doc_id", "text")
+    val chunks = Chunking.chunk(docs, maxTokens = 4, overlap = 0)
+    // all three docs share shard 1 (doc_id % 2); capacity 8 packs TWO
+    // docs' chunks into one sequence — a genuine cross-document window
+    val asg = Packing.packNextFit(chunks, capacity = 8,
+      shard = pmod(col("doc_id"), lit(2)))
+    val seqs = Packing.sequences(chunks, asg, withProvenance = true)
+      .as[(Long, Long, Long, Long, String, String)].collect()
+      .sortBy(s => (s._1, s._2))
+    // walk order within shard 1: (1,0), (3,0), (5,0) — 4+4 fills seq 0,
+    // doc 5 opens seq 1
+    assert(seqs.toSeq == Seq(
+      (1L, 0L, 2L, 8L, "a1 a2 a3 a4\nb1 b2 b3 b4", "1:0,3:0"),
+      (1L, 1L, 1L, 4L, "c1 c2 c3 c4", "5:0")))
+    // provenance fields replay exactly the member (doc, chunk) keys in
+    // seq_pos order — a takedown of doc 3 locates sequence (1, 0) alone
+    assert(seqs.count(_._6.split(",").exists(_.startsWith("3:"))) == 1)
+  }
+
   test("plans as ONE exchange (shard repartition) + in-partition sort") {
     val df = spark.createDataset(Seq((1L, 0, "t", 3))).toDF("doc_id", "chunk_idx", "chunk_text", "n_tokens")
     val plan = Packing.packNextFit(df, 10).queryExecution.executedPlan.toString
