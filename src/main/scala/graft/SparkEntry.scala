@@ -556,6 +556,18 @@ object SparkEntry {
         shard = pmod(col("doc_id"), lit(8)))
       Packing.sequences(chunks, asg, withProvenance = true)
     }),
+    // takedown traceback over the cross-doc packing: docs with
+    // doc_id % 97 == 0 are "removed"; every sequence carrying any of
+    // their chunks is located through the assignments index (the
+    // sequence texts are never read), with the sorted hit-doc list.
+    // Oracle: the q_packed_provenance walk filtered to hit docs.
+    "q_takedown" -> ((s, dir) => {
+      val chunks = Chunking.chunk(guardMaxWords(docs(s, dir), "text", 772),
+        maxTokens = 16, overlap = 4)
+      val asg = Packing.packNextFit(chunks, capacity = 48,
+        shard = pmod(col("doc_id"), lit(8)))
+      Packing.affectedSequences(asg, col("doc_id") % 97 === 0)
+    }),
     // THE LAST MILE made concrete: packed training sequences (chunk ->
     // next-fit pack -> reassembled seq_text) get their deterministic
     // global training order — md5 order key over the unique
@@ -1677,6 +1689,29 @@ object SparkEntry {
           |    ',' ORDER BY walk.seq_pos) AS provenance
           |FROM walk JOIN tx ON tx.doc_id = walk.doc_id AND tx.chunk_idx = walk.chunk_idx
           |GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+      // the cross-doc walk again, filtered to the takedown docs
+      "q_takedown" ->
+        """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |c AS (SELECT doc_id, CAST(ceil(greatest(len(ws) - 4, 1) / 12.0) AS INT) AS nch,
+          |  len(ws) AS n FROM w),
+          |ch0 AS (SELECT doc_id, CAST(s.i AS INT) AS chunk_idx,
+          |  CAST(least(n - s.i*12, 16) AS INT) AS tok
+          |  FROM c JOIN generate_series(0, 63) AS s(i) ON s.i < c.nch),
+          |ch AS (SELECT doc_id % 8 AS shard, doc_id, chunk_idx, tok,
+          |  CAST(row_number() OVER (PARTITION BY doc_id % 8
+          |    ORDER BY doc_id, chunk_idx) AS INT) AS rn FROM ch0),
+          |walk AS (
+          |  SELECT shard, doc_id, tok, rn, CAST(0 AS BIGINT) AS seq_idx, tok AS cum
+          |  FROM ch WHERE rn = 1
+          |  UNION ALL
+          |  SELECT ch.shard, ch.doc_id, ch.tok, ch.rn,
+          |    CASE WHEN walk.cum + ch.tok > 48 THEN walk.seq_idx + 1 ELSE walk.seq_idx END,
+          |    CASE WHEN walk.cum + ch.tok > 48 THEN ch.tok ELSE walk.cum + ch.tok END
+          |  FROM walk JOIN ch ON ch.shard = walk.shard AND ch.rn = walk.rn + 1)
+          |SELECT CAST(shard AS BIGINT) AS shard, seq_idx,
+          |  string_agg(DISTINCT CAST(doc_id AS VARCHAR), ','
+          |    ORDER BY CAST(doc_id AS VARCHAR)) AS hit_docs
+          |FROM walk WHERE doc_id % 97 = 0 GROUP BY 1, 2""".stripMargin.replace("\n", " "),
       // q_packed_sequences' full replay + the md5 training order over
       // the unique (pack_shard, seq_idx) identity
       "q_ordered_shards" ->

@@ -120,4 +120,23 @@ object Packing {
       .groupBy(col("shard"), col("seq_idx"))
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Takedown traceback — the query the provenance lineage exists for:
+    * given a predicate over doc ids (a removal / contamination list),
+    * return every packed sequence containing ANY chunk of a matching
+    * doc, with the sorted matching-doc list. This is the assignments
+    * table used as the inverted index doc -> (shard, seq_idx): one
+    * filter + one aggregation on keys already partitioned by shard —
+    * the sequence texts are never read, so a takedown over a 10^12-row
+    * corpus touches only the (ids, shard) columns. Re-materializing
+    * the affected sequences afterwards is [[sequences]] over the
+    * surviving assignments.
+    */
+  def affectedSequences(assignments: DataFrame, takedown: Column,
+                        idCol: String = "doc_id"): DataFrame =
+    assignments
+      .filter(takedown)
+      .groupBy(col("shard"), col("seq_idx"))
+      .agg(array_join(array_sort(collect_set(col(idCol).cast("string"))), ",")
+        .as("hit_docs"))
 }
