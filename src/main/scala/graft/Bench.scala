@@ -129,7 +129,8 @@ object Bench {
     "q_sketch_users", "q_contamination", "q_conversations_bytecapped",
     "q_chunked", "q_packed", "q_training_pipeline",
     "q_dedup_corpus", "q_contamination_partial", "q_curation_pipeline",
-    "q_paragraph_dedup", "q_training_order", "q_ordered_shards")
+    "q_paragraph_dedup", "q_training_order", "q_ordered_shards",
+    "q_packed_provenance", "q_loss_mask")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
