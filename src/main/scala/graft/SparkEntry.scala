@@ -994,6 +994,31 @@ object SparkEntry {
       Dedup.decontaminatedCorpus(corpus, planted.unionByName(clean))
         .select(col("doc_id"), col("text"))
     }),
+    // sequence-level decontamination: the REAL contamination operator
+    // (winnowing fingerprints, full containment) finds the contaminated
+    // corpus docs, and the provenance traceback locates every PACKED
+    // sequence that carries their chunks — the artifact a re-pack must
+    // rebuild. Planted-universe corpus (doc-side verdicts must be
+    // SQL-predictable: natural containments exist on real text), so
+    // contaminated == doc_id%10==0 sources and every doc has exactly
+    // 20 words => chunks (16, 8) — the whole composition collapses to
+    // the cross-doc walk filtered to %10==0 in the oracle.
+    "q_contaminated_sequences" -> ((s, dir) => {
+      val mkText = (salt: String, n: Int) => array_join(
+        transform(sequence(lit(1), lit(n)),
+          j => md5(concat(lit(salt), col("doc_id"), lit(":"), j))), " ")
+      val corpus = docs(s, dir).select(col("doc_id"), mkText("", 20).as("text"))
+      val planted = corpus.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + lit(5000000L)).as("doc_id"), col("text"))
+      val clean = docs(s, dir).filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + lit(6000000L)).as("doc_id"), mkText("x", 2).as("text"))
+      val contaminated = Dedup.contamination(corpus, planted.unionByName(clean))
+        .select(col("doc_id"))
+      val chunks = Chunking.chunk(corpus, maxTokens = 16, overlap = 4)
+      val asg = Packing.packNextFit(chunks, capacity = 48,
+        shard = pmod(col("doc_id"), lit(8)))
+      Packing.affectedSequencesByDocs(asg, contaminated)
+    }),
     // per-domain token-budget selection (mixture curation): each lang
     // keeps its best-scored prefix up to its own budget; the histogram
     // plan must reproduce the per-domain global running-sum rule
@@ -1971,6 +1996,26 @@ object SparkEntry {
           |  (SELECT string_agg(md5('' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), ' ' ORDER BY i)
           |   FROM generate_series(1, 20) AS s(i)) AS text
           |FROM documents WHERE doc_id % 10 <> 0""".stripMargin.replace("\n", " "),
+      // planted 20-word universe => every doc chunks to (16, 8); the
+      // contaminated set collapses to doc_id % 10 = 0 by construction
+      "q_contaminated_sequences" ->
+        """WITH RECURSIVE ch AS (
+          |  SELECT doc_id % 8 AS shard, doc_id, c.chunk_idx, c.tok,
+          |    CAST(row_number() OVER (PARTITION BY doc_id % 8
+          |      ORDER BY doc_id, c.chunk_idx) AS INT) AS rn
+          |  FROM documents CROSS JOIN (VALUES (0, 16), (1, 8)) AS c(chunk_idx, tok)),
+          |walk AS (
+          |  SELECT shard, doc_id, tok, rn, CAST(0 AS BIGINT) AS seq_idx, tok AS cum
+          |  FROM ch WHERE rn = 1
+          |  UNION ALL
+          |  SELECT ch.shard, ch.doc_id, ch.tok, ch.rn,
+          |    CASE WHEN walk.cum + ch.tok > 48 THEN walk.seq_idx + 1 ELSE walk.seq_idx END,
+          |    CASE WHEN walk.cum + ch.tok > 48 THEN ch.tok ELSE walk.cum + ch.tok END
+          |  FROM walk JOIN ch ON ch.shard = walk.shard AND ch.rn = walk.rn + 1)
+          |SELECT CAST(shard AS BIGINT) AS shard, seq_idx,
+          |  string_agg(DISTINCT CAST(doc_id AS VARCHAR), ','
+          |    ORDER BY CAST(doc_id AS VARCHAR)) AS hit_docs
+          |FROM walk WHERE doc_id % 10 = 0 GROUP BY 1, 2""".stripMargin.replace("\n", " "),
       "q_budget_mixture" ->
         """WITH t AS (SELECT doc_id, lang, CAST(strlen(text) % 997 AS INT) AS score,
           |  CAST(1 + strlen(text) - strlen(replace(text, ' ', '')) AS INT) AS tok

@@ -139,4 +139,18 @@ object Packing {
       .groupBy(col("shard"), col("seq_idx"))
       .agg(array_join(array_sort(collect_set(col(idCol).cast("string"))), ",")
         .as("hit_docs"))
+
+  /** [[affectedSequences]] with a data-driven doc list (e.g. the
+    * contaminated-doc output of Dedup.contamination) instead of a
+    * predicate: a join on the id column replaces the filter. The hit
+    * list is distinct-ed and ids-only before the join, so a small list
+    * broadcasts and a large one shuffles only ids either way.
+    */
+  def affectedSequencesByDocs(assignments: DataFrame, docIds: DataFrame,
+                              idCol: String = "doc_id"): DataFrame =
+    assignments
+      .join(docIds.select(col(idCol)).distinct(), Seq(idCol))
+      .groupBy(col("shard"), col("seq_idx"))
+      .agg(array_join(array_sort(collect_set(col(idCol).cast("string"))), ",")
+        .as("hit_docs"))
 }

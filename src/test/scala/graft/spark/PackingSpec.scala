@@ -90,6 +90,14 @@ class PackingSpec extends SparkTestBase {
     // provenance fields replay exactly the member (doc, chunk) keys in
     // seq_pos order — a takedown of doc 3 locates sequence (1, 0) alone
     assert(seqs.count(_._6.split(",").exists(_.startsWith("3:"))) == 1)
+    // the traceback operators agree with the provenance column
+    val byPred = Packing.affectedSequences(asg, col("doc_id") === 3)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(byPred == Seq((1L, 0L, "3")))
+    val byDocs = Packing.affectedSequencesByDocs(asg,
+      spark.createDataset(Seq(3L, 5L)).toDF("doc_id"))
+      .as[(Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(byDocs == Seq((1L, 0L, "3"), (1L, 1L, "5")))
   }
 
   test("plans as ONE exchange (shard repartition) + in-partition sort") {
