@@ -116,9 +116,11 @@ object Bench {
     * components -> survivor), partial-inclusion contamination, and the
     * end-to-end curation composition (redact -> Gopher filter -> dedup
     * -> sample -> budget -> split), corpus-wide paragraph-level dedup,
-    * and the deterministic training-order materialization — per-query
-    * numbers stay comparable across rounds; the `total` line covers 28
-    * queries from round 5 on (23 in round 4, 18 in round 3, 16 before).
+    * the deterministic training-order materialization, the fully-ordered
+    * packed-shard artifact, cross-document packing provenance, and
+    * training loss-mask spans — per-query numbers stay comparable across
+    * rounds; the `total` line covers 31 queries from round 5 on (23 in
+    * round 4, 18 in round 3, 16 before).
     */
   val headline: Seq[String] = Seq(
     "q_pipeline_extract", "q_pipeline_onepass", "q_pipeline_extractfirst",
