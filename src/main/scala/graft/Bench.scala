@@ -132,7 +132,7 @@ object Bench {
     "q_chunked", "q_packed", "q_training_pipeline",
     "q_dedup_corpus", "q_contamination_partial", "q_curation_pipeline",
     "q_paragraph_dedup", "q_training_order", "q_ordered_shards",
-    "q_packed_provenance", "q_loss_mask")
+    "q_packed_provenance", "q_loss_mask", "q_packed_spans")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -364,6 +364,48 @@ object SparkEntry {
         .select(col("conv_key"), col("chunk_idx"), col("n_tokens"),
           col("seq_idx"), col("seq_pos"))
     }),
+    // the training pipeline WITH its loss mask carried to the end:
+    // assistant-turn spans (lossMaskSpans, conv_text coordinates) are
+    // remapped through chunking (chunkWithOffsets pins each chunk's
+    // char window in the doc) and packing (sequenceSpans pins each
+    // chunk's offset in seq_text) into PACKED-SEQUENCE coordinates —
+    // the artifact a trainer actually consumes: packed windows plus
+    // exactly the char ranges to compute loss on, no re-tokenization.
+    // Oracle: the q_training_pipeline replay extended with chunk char
+    // offsets (prefix join lengths), the per-sequence running offset,
+    // and the span intersection — all integer arithmetic.
+    "q_masked_pipeline" -> ((s, dir) => {
+      // extraction feeds BOTH the conversation text (chunk side) and the
+      // per-turn mask side: checkpoint it once — the same materialization
+      // point the production pipeline has anyway (runResumable writes
+      // extracted turns to the sink). Without it the composed plan
+      // re-parsed the corpus 4x (PlanDump-attributed; 14.4 -> see
+      // BENCH/BASELINE.md for the measured drop).
+      val ex = Pipeline.extractOnScanPartitions(Transcripts.derive(s, dir))
+        .localCheckpoint()
+      val convs = guardMaxWords(Pipeline.conversations(ex)
+        .filter(size(split(col("conv_text"), " ")) >= 100)
+        .select(col("conv_id"), col("conv_text")), "conv_text", 3076)
+      // the three span consumers (packing fold, sequence offsets, chunk
+      // char windows) need only ids + sizes: checkpoint the SLIM chunk
+      // relation (5 numeric cols/chunk, no text) instead of re-running
+      // the chunk generator per consumer
+      val chunks = Chunking.chunkWithOffsets(convs, maxTokens = 16, overlap = 4,
+          textCol = "conv_text", idCol = "conv_id")
+        .select(expr("CAST(substring(conv_id, 6) AS BIGINT)").as("conv_key"),
+          col("chunk_idx"), col("n_tokens"),
+          length(col("chunk_text")).cast("long").as("chunk_len"),
+          col("char_start"))
+        .localCheckpoint()
+      val asg = Packing.packNextFit(chunks, capacity = 24,
+        shard = col("conv_key"), idCol = "conv_key")
+      val masks = Pipeline.lossMaskSpans(ex.withColumn("role",
+          expr("CASE turn_idx % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END")))
+        .filter(col("in_loss"))
+        .select(expr("CAST(substring(conv_id, 6) AS BIGINT)").as("conv_key"),
+          col("span_start"), col("span_end"))
+      Packing.remapSpansToSequences(chunks, asg, masks, idCol = "conv_key")
+    }),
     // ===== window / agg over transcripts ==================================
     "q_turn_rn" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -540,6 +582,19 @@ object SparkEntry {
         maxTokens = 16, overlap = 4)
       val asg = Packing.packNextFit(chunks, capacity = 24, shard = col("doc_id"))
       Packing.sequences(chunks, asg)
+    }),
+    // sample-boundary spans over the packed sequences: every chunk's
+    // exact [span_start, span_end) character span inside its sequence's
+    // seq_text — the block-diagonal-attention / loss-reset mask a
+    // trainer consumes with the packed window. Oracle: the q_packed
+    // walk + the re-sliced chunk LENGTHS + a running-sum window (the
+    // same arithmetic, so substring(seq_text, span) == chunk_text by
+    // construction — PackingSpec pins that invariant end-to-end).
+    "q_packed_spans" -> ((s, dir) => {
+      val chunks = Chunking.chunk(guardMaxWords(docs(s, dir), "text", 772),
+        maxTokens = 16, overlap = 4)
+      val asg = Packing.packNextFit(chunks, capacity = 24, shard = col("doc_id"))
+      Packing.sequenceSpans(chunks, asg)
     }),
     // CROSS-DOCUMENT packing with provenance lineage: shard = doc_id % 8
     // puts many docs per shard, so the next-fit walk packs chunks from
@@ -1475,6 +1530,63 @@ object SparkEntry {
            | CAST(seq_pos AS INT) AS seq_pos FROM walk"""
           .stripMargin.replace("\n", " ")
           .replaceFirst("^WITH ", "WITH RECURSIVE ")),
+      // the q_training_pipeline replay + chunk char offsets (prefix
+      // join lengths over the word list) + the per-sequence running
+      // text offset + the in-loss span intersection, all exact integer
+      // arithmetic over the same fold
+      "q_masked_pipeline" ->
+        (s"""$cte, conv AS (SELECT conv_id, CAST(substring(conv_id, 6) AS BIGINT) AS conv_key,
+           | string_agg($extractExpr, chr(10) ORDER BY turn_idx) AS ct
+           | FROM t GROUP BY conv_id),
+           |q AS (SELECT conv_key, ct FROM conv
+           | WHERE 1 + length(ct) - length(replace(ct, ' ', '')) >= 100),
+           |w AS (SELECT conv_key, string_split(ct, ' ') AS ws FROM q),
+           |cc AS (SELECT conv_key, CAST(ceil(greatest(len(ws) - 4, 1) / 12.0) AS INT) AS nch,
+           | len(ws) AS n FROM w),
+           |ch AS (SELECT w.conv_key, CAST(s.i AS INT) AS chunk_idx,
+           | CAST(least(cc.n - s.i*12, 16) AS INT) AS tok,
+           | CAST(CASE WHEN s.i = 0 THEN 0
+           |   ELSE length(array_to_string(ws[1 : s.i*12], ' ')) + 1 END AS BIGINT) AS char_start,
+           | CAST(length(array_to_string(ws[s.i*12+1 : s.i*12+16], ' ')) AS BIGINT) AS clen
+           | FROM w JOIN cc ON cc.conv_key = w.conv_key
+           | JOIN generate_series(0, 255) AS s(i) ON s.i < cc.nch),
+           |walk AS (
+           | SELECT conv_key, chunk_idx, tok, CAST(0 AS BIGINT) AS seq_idx,
+           |  0 AS seq_pos, tok AS cum
+           | FROM ch WHERE chunk_idx = 0
+           | UNION ALL
+           | SELECT ch.conv_key, ch.chunk_idx, ch.tok,
+           |  CASE WHEN walk.cum + ch.tok > 24 THEN walk.seq_idx + 1 ELSE walk.seq_idx END,
+           |  CASE WHEN walk.cum + ch.tok > 24 THEN 0 ELSE walk.seq_pos + 1 END,
+           |  CASE WHEN walk.cum + ch.tok > 24 THEN ch.tok ELSE walk.cum + ch.tok END
+           | FROM walk JOIN ch ON ch.conv_key = walk.conv_key
+           |  AND ch.chunk_idx = walk.chunk_idx + 1),
+           |sq AS (SELECT walk.conv_key, walk.chunk_idx, walk.seq_idx, walk.seq_pos,
+           | ch.char_start, ch.clen,
+           | COALESCE(sum(ch.clen + 1) OVER (PARTITION BY walk.conv_key, walk.seq_idx
+           |  ORDER BY walk.seq_pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           |  0) AS seq_off
+           | FROM walk JOIN ch ON ch.conv_key = walk.conv_key
+           |  AND ch.chunk_idx = walk.chunk_idx),
+           |m0 AS (SELECT conv_id, CAST(substring(conv_id, 6) AS BIGINT) AS conv_key,
+           | turn_idx, length($extractExpr) AS len FROM t),
+           |m AS (SELECT conv_key, turn_idx,
+           | CAST(coalesce(sum(len + 1) OVER mw, 0) AS BIGINT) AS d_start,
+           | CAST(coalesce(sum(len + 1) OVER mw, 0) + len AS BIGINT) AS d_end
+           | FROM m0 WINDOW mw AS (PARTITION BY conv_id ORDER BY turn_idx
+           |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+           |ml AS (SELECT conv_key, d_start, d_end FROM m
+           | WHERE turn_idx % 3 = 1 AND d_start < d_end)
+           |SELECT CAST(sq.conv_key AS BIGINT) AS shard, sq.seq_idx,
+           | CAST(sq.seq_pos AS INT) AS seq_pos, sq.conv_key, sq.chunk_idx,
+           | CAST(sq.seq_off + greatest(ml.d_start, sq.char_start) - sq.char_start
+           |  AS BIGINT) AS span_start,
+           | CAST(sq.seq_off + least(ml.d_end, sq.char_start + sq.clen) - sq.char_start
+           |  AS BIGINT) AS span_end
+           |FROM sq JOIN ml ON ml.conv_key = sq.conv_key
+           | AND ml.d_start < sq.char_start + sq.clen AND ml.d_end > sq.char_start"""
+          .stripMargin.replace("\n", " ")
+          .replaceFirst("^WITH ", "WITH RECURSIVE ")),
       "q_turn_rn" ->
         s"""$cte SELECT conv_id, turn_idx,
            | CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx DESC) AS INT) AS rn_desc
@@ -1680,6 +1792,38 @@ object SparkEntry {
           |  string_agg(tx.chunk_text, chr(10) ORDER BY walk.seq_pos) AS seq_text
           |FROM walk JOIN tx ON tx.doc_id = walk.doc_id AND tx.chunk_idx = walk.chunk_idx
           |GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+      // the q_packed walk + chunk LENGTHS + a running-sum window — the
+      // span arithmetic replayed over the same fold
+      "q_packed_spans" ->
+        """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |c AS (SELECT doc_id, CAST(ceil(greatest(len(ws) - 4, 1) / 12.0) AS INT) AS nch,
+          |  len(ws) AS n FROM w),
+          |ch AS (SELECT doc_id, CAST(s.i AS INT) AS chunk_idx,
+          |  CAST(least(n - s.i*12, 16) AS INT) AS tok
+          |  FROM c JOIN generate_series(0, 63) AS s(i) ON s.i < c.nch),
+          |walk AS (
+          |  SELECT doc_id, chunk_idx, tok, CAST(0 AS BIGINT) AS seq_idx,
+          |    0 AS seq_pos, tok AS cum
+          |  FROM ch WHERE chunk_idx = 0
+          |  UNION ALL
+          |  SELECT ch.doc_id, ch.chunk_idx, ch.tok,
+          |    CASE WHEN walk.cum + ch.tok > 24 THEN walk.seq_idx + 1 ELSE walk.seq_idx END,
+          |    CASE WHEN walk.cum + ch.tok > 24 THEN 0 ELSE walk.seq_pos + 1 END,
+          |    CASE WHEN walk.cum + ch.tok > 24 THEN ch.tok ELSE walk.cum + ch.tok END
+          |  FROM walk JOIN ch ON ch.doc_id = walk.doc_id AND ch.chunk_idx = walk.chunk_idx + 1),
+          |tx AS (SELECT w.doc_id, CAST(s.i AS INT) AS chunk_idx,
+          |  CAST(length(array_to_string(ws[s.i*12+1 : s.i*12+16], ' ')) AS BIGINT) AS len
+          |  FROM w JOIN c ON c.doc_id = w.doc_id
+          |  JOIN generate_series(0, 63) AS s(i) ON s.i < c.nch),
+          |sp AS (SELECT walk.doc_id, walk.chunk_idx, walk.seq_idx, walk.seq_pos, tx.len,
+          |  COALESCE(sum(tx.len + 1) OVER (PARTITION BY walk.doc_id, walk.seq_idx
+          |    ORDER BY walk.seq_pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          |    0) AS span_start
+          |  FROM walk JOIN tx ON tx.doc_id = walk.doc_id AND tx.chunk_idx = walk.chunk_idx)
+          |SELECT CAST(doc_id AS BIGINT) AS shard, seq_idx, CAST(seq_pos AS INT) AS seq_pos,
+          |  doc_id, chunk_idx, CAST(span_start AS BIGINT) AS span_start,
+          |  CAST(span_start + len AS BIGINT) AS span_end FROM sp"""
+          .stripMargin.replace("\n", " "),
       // cross-doc walk: recursion advances a per-shard dense row_number
       // (docs interleave within shard in (doc_id, chunk_idx) order)
       "q_packed_provenance" ->

@@ -60,4 +60,56 @@ object Chunking {
         col("c.chunk_text").as("chunk_text"),
         col("c.n_tokens").as("n_tokens"))
   }
+
+  /** [[chunk]] plus each chunk's exact character offset `char_start` in
+    * the ORIGINAL document text: because [[chunk]] splits on a single
+    * space and re-joins slices with a single space, chunk_text ==
+    * substring(text, char_start+1, length(chunk_text)) — the property
+    * that lets downstream spans (e.g. loss masks computed over the doc)
+    * be remapped into chunk coordinates exactly.
+    *
+    * The offsets are a prefix scan over the chunk STARTS (one entry per
+    * chunk, not per word), built in the same pre-explode projection as
+    * the chunk structs: step k adds the joined length of the `step`
+    * words between starts k-1 and k, so the character work is O(doc
+    * chars) total; the array append is O(n_chunks^2) longs per doc —
+    * for 512/64 chunking even a 1M-word document is ~2.2k chunks, a few
+    * M long-copies, negligible next to its own text bytes. Still a
+    * PROJECTION: no UDF, no shuffle, runs at scan speed.
+    */
+  def chunkWithOffsets(docs: DataFrame, maxTokens: Int = 512, overlap: Int = 64,
+                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap must be in [0, maxTokens), got $overlap")
+    val step = maxTokens - overlap
+    val w: Column = col("w")
+    val n: Column = size(w)
+    val lastStart = (ceil((greatest(n - lit(overlap), lit(1))).cast("double")
+      / lit(step)).cast("int") - 1) * lit(step)
+    val starts = sequence(lit(0), lastStart, lit(step))
+    // charStarts(k+1) = char offset of chunk k's first word in the doc:
+    // each scan step appends prev + len(join(words between the two
+    // starts)) + 1 (the separator the NEXT word follows)
+    val charStarts = aggregate(
+      slice(starts, lit(2), greatest(size(starts) - 1, lit(0))),
+      array(lit(0L)),
+      (acc, st) => concat(acc, array(
+        element_at(acc, -1)
+          + length(array_join(slice(w, st - lit(step) + 1, lit(step)), " ")).cast("long")
+          + lit(1L))))
+    docs
+      .select(col(idCol), split(coalesce(col(textCol), lit("")), " ").as("w"))
+      .select(col(idCol),
+        posexplode(zip_with(starts, charStarts, (start, cs) =>
+          struct(
+            array_join(slice(w, start + 1, lit(maxTokens)), " ").as("chunk_text"),
+            least(n - start, lit(maxTokens)).as("n_tokens"),
+            cs.as("char_start"))))
+          .as(Seq("chunk_idx", "c")))
+      .select(col(idCol), col("chunk_idx"),
+        col("c.chunk_text").as("chunk_text"),
+        col("c.n_tokens").as("n_tokens"),
+        col("c.char_start").as("char_start"))
+  }
 }

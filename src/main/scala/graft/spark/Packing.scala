@@ -121,6 +121,110 @@ object Packing {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Char length of a chunk, from a precomputed `chunk_len` column when
+    * the chunk relation is SLIM (ids + sizes only, text projected away
+    * — e.g. a localCheckpoint shared by several span consumers, as
+    * q_masked_pipeline does), else from `chunk_text` directly. Both
+    * span operators below accept either shape.
+    */
+  private def chunkLen(chunks: DataFrame): Column =
+    if (chunks.columns.contains("chunk_len")) col("chunk_len").cast("long")
+    else length(col("chunk_text")).cast("long")
+
+  /** Sample-boundary spans inside the packed sequences: one row per
+    * packed chunk with its exact character span [span_start, span_end)
+    * in the (shard, seq_idx) sequence's `seq_text` as materialized by
+    * [[sequences]] with the same `sep`. This is the packing mask a
+    * trainer consumes alongside the packed window — packed samples are
+    * independent, so attention must be block-diagonal per span and the
+    * loss must reset at span boundaries; shipping the spans with the
+    * sequence means the trainer never re-splits (or re-tokenizes) the
+    * window to find them.
+    *
+    * Scale shape mirrors [[graft.spark.Pipeline.lossMaskSpans]]: the
+    * chunk TEXT never moves — length() is applied under the join, so
+    * the join on (idCol, chunk_idx) and the (shard, seq_idx) window
+    * exchange only (ids, one length per chunk); the running sum is a
+    * bounded window (no per-sequence buffering of texts). Invariant
+    * (PackingSpec-pinned):
+    * substring(seq_text, span_start+1, span_end-span_start) ==
+    * chunk_text for every row, and spans tile seq_text exactly with
+    * `sep`-width gaps.
+    */
+  def sequenceSpans(chunks: DataFrame, assignments: DataFrame,
+                    idCol: String = "doc_id", sep: String = "\n"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard"), col("seq_idx"))
+      .orderBy(col("seq_pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    assignments
+      .join(chunks.select(col(idCol), col("chunk_idx"),
+          chunkLen(chunks).as("len")),
+        Seq(idCol, "chunk_idx"))
+      .withColumn("span_start",
+        coalesce(sum(col("len") + lit(sep.length.toLong)).over(w), lit(0L)))
+      .select(col("shard"), col("seq_idx"), col("seq_pos"), col(idCol),
+        col("chunk_idx"), col("span_start"),
+        (col("span_start") + col("len")).as("span_end"))
+  }
+
+  /** Remap DOCUMENT-coordinate character spans (e.g. the in-loss turn
+    * spans of [[graft.spark.Pipeline.lossMaskSpans]] over a reassembled
+    * conversation) into PACKED-SEQUENCE coordinates: for every chunk a
+    * doc span overlaps, emit the intersection shifted to the chunk's
+    * offset inside its sequence's seq_text. Composed with
+    * [[Chunking.chunkWithOffsets]] (which guarantees chunk_text ==
+    * substring(doc_text, char_start+1, len)) and [[sequenceSpans]]
+    * (substring-faithful sequence offsets), the output spans satisfy
+    * substring(seq_text, span_start+1, span_end-span_start) ==
+    * substring(doc_text, doc-span ∩ chunk window) EXACTLY — the
+    * model-ready loss mask shipped in the same coordinates as the
+    * packed training window, with no re-tokenization at read time.
+    *
+    * A span crossing a chunk boundary is clipped per chunk; a span
+    * falling in the overlap region of two chunks is (correctly)
+    * duplicated into both — each packed sample is independent. Spans
+    * never covering a chunk emit nothing; zero-width input spans (an
+    * empty turn) are dropped explicitly — they mask nothing. The one
+    * doc char no chunk carries is the separator space BETWEEN two
+    * adjacent chunks (seq_text replaces it with `sep`): a doc span
+    * crossing a chunk boundary loses exactly that char, so the mask
+    * union covers precisely the doc chars the trainer actually reads
+    * (PackingSpec pins this as set equality at overlap 0 and 2).
+    *
+    * Scale: the doc-span join is keyed on `idCol`, so the blow-up is
+    * bounded per doc by (n_chunks x n_spans of that doc) before the
+    * overlap filter — for transcript masks that is (doc_len/step) x
+    * n_turns, both O(doc length). Texts cross neither join: chunks are
+    * reduced to (ids, char window) and spans to (ids, two offsets).
+    */
+  def remapSpansToSequences(chunks: DataFrame, assignments: DataFrame,
+                            docSpans: DataFrame, idCol: String = "doc_id",
+                            sep: String = "\n"): DataFrame = {
+    require(chunks.columns.contains("char_start"),
+      "chunks must carry char_start — produce them with Chunking.chunkWithOffsets")
+    val offs = sequenceSpans(chunks, assignments, idCol, sep)
+      .select(col("shard"), col("seq_idx"), col("seq_pos"), col(idCol),
+        col("chunk_idx"), col("span_start").as("seq_off"))
+    val cw = chunks.select(col(idCol), col("chunk_idx"),
+      col("char_start").cast("long").as("char_start"),
+      (col("char_start") + chunkLen(chunks)).cast("long").as("char_end"))
+    val local = cw
+      .join(docSpans.select(col(idCol),
+        col("span_start").cast("long").as("d_start"),
+        col("span_end").cast("long").as("d_end")), Seq(idCol))
+      .filter(col("d_start") < col("d_end") && // empty spans mask nothing
+        col("d_start") < col("char_end") && col("d_end") > col("char_start"))
+      .select(col(idCol), col("chunk_idx"),
+        (greatest(col("d_start"), col("char_start")) - col("char_start")).as("l_start"),
+        (least(col("d_end"), col("char_end")) - col("char_start")).as("l_end"))
+    local.join(offs, Seq(idCol, "chunk_idx"))
+      .select(col("shard"), col("seq_idx"), col("seq_pos"), col(idCol),
+        col("chunk_idx"),
+        (col("seq_off") + col("l_start")).as("span_start"),
+        (col("seq_off") + col("l_end")).as("span_end"))
+  }
+
   /** Takedown traceback — the query the provenance lineage exists for:
     * given a predicate over doc ids (a removal / contamination list),
     * return every packed sequence containing ANY chunk of a matching

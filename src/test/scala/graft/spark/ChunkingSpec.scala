@@ -56,6 +56,39 @@ class ChunkingSpec extends SparkTestBase {
     assert(out.map(_._4).toSeq == Seq(4, 4, 2))
   }
 
+  test("chunkWithOffsets: chunk_text == substring(text, char_start+1, len) for every chunk") {
+    val rnd = new scala.util.Random(11)
+    // variable-width words (and embedded non-space whitespace, which
+    // split(" ") keeps inside words) so char offsets differ from any
+    // token-count arithmetic
+    val texts = Seq.tabulate(25)(i =>
+      Seq.fill(rnd.nextInt(40) + 1)("x" * (1 + rnd.nextInt(6)) +
+        (if (rnd.nextInt(5) == 0) "\nY" else "")).mkString(" ")) ++
+      Seq("", "one", "a b c")
+    val out = Chunking.chunkWithOffsets(mkDocs(texts), maxTokens = 7, overlap = 2)
+      .as[(Long, Int, String, Int, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (d, ci, ct, nt, cs) =>
+      val t = texts(d.toInt)
+      assert(t.substring(cs.toInt, cs.toInt + ct.length) == ct,
+        s"doc $d chunk $ci: offset $cs wrong")
+      // the offset is preceded by a space or starts the doc
+      assert(cs == 0L || t.charAt(cs.toInt - 1) == ' ', s"doc $d chunk $ci")
+      assert(nt == ct.split(" ", -1).length)
+    }
+    // identical chunking to chunk() itself (offsets are additive only)
+    val plain = Chunking.chunk(mkDocs(texts), maxTokens = 7, overlap = 2)
+      .as[(Long, Int, String, Int)].collect().toSet
+    assert(out.map(r => (r._1, r._2, r._3, r._4)).toSet == plain)
+  }
+
+  test("chunkWithOffsets stays a shuffle-free projection") {
+    val plan = Chunking.chunkWithOffsets(mkDocs(Seq("a b c d e")), 3, 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("UDF"), plan)
+  }
+
   test("chunking plans as a shuffle-free projection (no exchange, no UDF)") {
     val plan = Chunking.chunk(mkDocs(Seq("a b c")), 4, 1)
       .queryExecution.executedPlan.toString

@@ -100,6 +100,162 @@ class PackingSpec extends SparkTestBase {
     assert(byDocs == Seq((1L, 0L, "3"), (1L, 1L, "5")))
   }
 
+  test("sequenceSpans: substring(seq_text, span) == chunk_text; spans tile seq_text with sep gaps") {
+    val rnd = new scala.util.Random(29)
+    // variable-width words so char spans differ from token arithmetic
+    val docs = spark.createDataset((0L until 12L).map(d =>
+        (d, (0 until (3 + rnd.nextInt(20)))
+          .map(i => "w" * (1 + rnd.nextInt(7)) + i).mkString(" "))))
+      .toDF("doc_id", "text")
+    val chunks = Chunking.chunk(docs, maxTokens = 4, overlap = 1)
+    val asg = Packing.packNextFit(chunks, capacity = 6, shard = pmod(col("doc_id"), lit(3)))
+    val spans = Packing.sequenceSpans(chunks, asg)
+    val seqs = Packing.sequences(chunks, asg)
+    // the invariant the operator exists for: each span cuts exactly its
+    // chunk's text out of the materialized sequence
+    val joined = spans
+      .join(seqs.select(col("shard"), col("seq_idx"), col("seq_text")), Seq("shard", "seq_idx"))
+      .join(chunks.select(col("doc_id"), col("chunk_idx"), col("chunk_text")),
+        Seq("doc_id", "chunk_idx"))
+    assert(joined.filter(
+      substring(col("seq_text"), (col("span_start") + 1).cast("int"),
+        (col("span_end") - col("span_start")).cast("int")) =!= col("chunk_text")).count() == 0)
+    // tiling: first span starts at 0, consecutive spans gap by len(sep)=1,
+    // last span ends at length(seq_text) — checked per sequence
+    val tiling = spans.groupBy(col("shard"), col("seq_idx"))
+      .agg(min(col("span_start")).as("first_start"),
+        max(col("span_end")).as("last_end"),
+        sum(col("span_end") - col("span_start")).as("covered"),
+        count(lit(1)).as("n"))
+      .join(seqs.select(col("shard"), col("seq_idx"),
+        length(col("seq_text")).cast("long").as("seq_len")), Seq("shard", "seq_idx"))
+    assert(tiling.filter(col("first_start") =!= 0L).count() == 0)
+    assert(tiling.filter(col("last_end") =!= col("seq_len")).count() == 0)
+    assert(tiling.filter(col("covered") + col("n") - 1L =!= col("seq_len")).count() == 0)
+    // every assignment row got exactly one span
+    assert(spans.count() == asg.count())
+    // a SLIM chunk relation (chunk_len instead of chunk_text — the
+    // checkpoint shape q_masked_pipeline shares across consumers)
+    // yields byte-identical spans
+    val slim = chunks.select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+      length(col("chunk_text")).cast("long").as("chunk_len"))
+    val slimSpans = Packing.sequenceSpans(slim, asg)
+    assert(slimSpans.exceptAll(spans).count() == 0 &&
+      spans.exceptAll(slimSpans).count() == 0)
+  }
+
+  test("remapSpansToSequences: masks cut assistant text exactly; overlap duplicates, never loses") {
+    val rnd = new scala.util.Random(41)
+    // "conversations": alternating user/assistant turns joined by \n,
+    // with variable word widths (some empty assistant turns)
+    val docsData = (0L until 10L).map { d =>
+      val turns = (0 until 2 + rnd.nextInt(5)).map { j =>
+        val role = if (j % 2 == 1) "assistant" else "user"
+        val words = (0 until rnd.nextInt(7)).map(k =>
+          s"${role.head}$d$j$k" + "z" * rnd.nextInt(4))
+        (role, words.mkString(" "))
+      }
+      (d, turns)
+    }
+    val docs = spark.createDataset(
+        docsData.map { case (d, ts) => (d, ts.map(_._2).mkString("\n")) })
+      .toDF("doc_id", "text")
+    val spanRows = docsData.flatMap { case (d, ts) =>
+      var off = 0L
+      ts.flatMap { case (role, t) =>
+        val r = if (role == "assistant") Some((d, off, off + t.length)) else None
+        off += t.length + 1
+        r
+      }
+    }
+    val docSpans = spark.createDataset(spanRows)
+      .toDF("doc_id", "span_start", "span_end")
+    val docText = docsData.map { case (d, ts) => d -> ts.map(_._2).mkString("\n") }.toMap
+
+    for (overlap <- Seq(0, 2)) {
+      val chunks = Chunking.chunkWithOffsets(docs, maxTokens = 5, overlap = overlap)
+      val asg = Packing.packNextFit(chunks, capacity = 8, shard = pmod(col("doc_id"), lit(2)))
+      val seqText = Packing.sequences(chunks, asg)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[String]("seq_text")).toMap
+      val offs = Packing.sequenceSpans(chunks, asg)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)) ->
+          (r.getLong(3), r.getInt(4), r.getLong(5))).toMap // -> (doc, chunk, seq_off)
+      val chunkStart = chunks.collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getAs[Long]("char_start")).toMap
+      val masks = Packing.remapSpansToSequences(chunks, asg, docSpans).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+          r.getInt(4), r.getLong(5), r.getLong(6)))
+      assert(masks.nonEmpty)
+      // per span: seq_text slice == doc text slice at the mapped-back
+      // doc coordinates, and that slice is assistant material
+      masks.foreach { case (sh, si, sp, d, ci, s, e) =>
+        assert(s < e, "zero-width mask emitted")
+        val st = seqText((sh, si))
+        val (_, _, seqOff) = offs((sh, si, sp))
+        val cs = chunkStart((d, ci))
+        val docSlice = docText(d).substring((cs + s - seqOff).toInt, (cs + e - seqOff).toInt)
+        assert(st.substring(s.toInt, e.toInt) == docSlice, s"doc $d chunk $ci")
+      }
+      // doc-coordinate union of the masks == the assistant chars THAT A
+      // CHUNK CARRIES: the single separator space BETWEEN two adjacent
+      // chunks belongs to neither chunk_text (seq_text replaces it with
+      // the packing separator), so an assistant turn crossing a chunk
+      // boundary correctly loses exactly that char — the mask covers
+      // everything the trainer actually reads, nothing it doesn't
+      val windows = chunks.collect()
+        .map(r => (r.getLong(0), r.getAs[Long]("char_start"),
+          r.getAs[Long]("char_start") + r.getAs[String]("chunk_text").length))
+        .groupBy(_._1)
+      val maskPositionsByDoc = masks.groupBy(_._4).map { case (d, ms) =>
+        d -> ms.map { case (sh, si, sp, _, ci, s, e) =>
+          val (_, _, seqOff) = offs((sh, si, sp))
+          val cs = chunkStart((d, ci))
+          (cs + s - seqOff, cs + e - seqOff)
+        }.flatMap { case (a, b) => a until b }.toSeq
+      }
+      docsData.foreach { case (d, ts) =>
+        var off = 0L
+        val assistantPos = ts.flatMap { case (role, t) =>
+          val r = if (role == "assistant") (off until off + t.length) else Seq.empty[Long]
+          off += t.length + 1
+          r
+        }
+        val expected = assistantPos.filter(p =>
+          windows.getOrElse(d, Array.empty).exists(w => p >= w._2 && p < w._3))
+        assert(maskPositionsByDoc.getOrElse(d, Seq.empty[Long]).distinct.sorted == expected.toSeq,
+          s"doc $d overlap=$overlap")
+        if (overlap == 0) {
+          // chunk windows are disjoint: every masked char exactly once
+          val all = maskPositionsByDoc.getOrElse(d, Seq.empty[Long])
+          assert(all.distinct.length == all.length, s"doc $d duplicated mask chars")
+        }
+      }
+    }
+  }
+
+  test("sequenceSpans computes length under the join: no text column above it") {
+    val df = spark.createDataset(Seq((1L, "a b c d e f")))
+      .toDF("doc_id", "text")
+    val chunks = Chunking.chunk(df, maxTokens = 2, overlap = 0)
+    val asg = Packing.packNextFit(chunks, capacity = 4, shard = col("doc_id"))
+    val plan = Packing.sequenceSpans(chunks, asg)
+      .queryExecution.optimizedPlan
+    // walk the logical plan: once a Window node appears, no operator at
+    // or above it may output a string-typed column — the text was
+    // reduced to its length below the join, so only (ids, len) cross
+    // the window's exchange
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val windowAndAbove = plan.collect {
+      case n if n.collectFirst { case w: LWindow => w }.isDefined => n
+    }
+    assert(windowAndAbove.nonEmpty, plan.toString)
+    windowAndAbove.foreach { n =>
+      assert(!n.output.exists(_.dataType ==
+        org.apache.spark.sql.types.StringType),
+        s"string column crosses/above the window:\n$plan")
+    }
+  }
+
   test("plans as ONE exchange (shard repartition) + in-partition sort") {
     val df = spark.createDataset(Seq((1L, 0, "t", 3))).toDF("doc_id", "chunk_idx", "chunk_text", "n_tokens")
     val plan = Packing.packNextFit(df, 10).queryExecution.executedPlan.toString

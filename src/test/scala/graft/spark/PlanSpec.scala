@@ -211,4 +211,20 @@ class PlanSpec extends SparkTestBase {
     val plan = q.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), "extract projection must not shuffle")
   }
+
+  test("masked pipeline: checkpoints make the final plan free of re-extraction and re-chunking") {
+    // before the localCheckpoint fix the composed plan re-ran extraction
+    // 4x and the chunk generator 3x (PlanDump-attributed, 14.4 s at
+    // sf0.1); with the extracted turns and the SLIM chunk relation
+    // checkpointed, the final plan must contain only the packing fold's
+    // MapPartitions, no Generate (chunking ran once inside the
+    // checkpoint), no aggregation (conversations likewise), and all
+    // leaves are checkpoint scans + slim-column exchanges
+    val df = graft.SparkEntry.queries("q_masked_pipeline")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("MapPartitions".r.findAllIn(plan).length == 1, plan) // the next-fit fold only
+    assert(!plan.contains("Generate"), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+    assert("Scan ExistingRDD".r.findAllIn(plan).nonEmpty, plan) // checkpoint leaves
+  }
 }
