@@ -117,10 +117,11 @@ object Bench {
     * end-to-end curation composition (redact -> Gopher filter -> dedup
     * -> sample -> budget -> split), corpus-wide paragraph-level dedup,
     * the deterministic training-order materialization, the fully-ordered
-    * packed-shard artifact, cross-document packing provenance, and
-    * training loss-mask spans — per-query numbers stay comparable across
-    * rounds; the `total` line covers 31 queries from round 5 on (23 in
-    * round 4, 18 in round 3, 16 before).
+    * packed-shard artifact, cross-document packing provenance, training
+    * loss-mask spans, packed sample-boundary spans, and the loss mask
+    * carried end-to-end into packed coordinates — per-query numbers stay
+    * comparable across rounds; the `total` line covers 33 queries from
+    * round 5 on (23 in round 4, 18 in round 3, 16 before).
     */
   val headline: Seq[String] = Seq(
     "q_pipeline_extract", "q_pipeline_onepass", "q_pipeline_extractfirst",
@@ -132,7 +133,8 @@ object Bench {
     "q_chunked", "q_packed", "q_training_pipeline",
     "q_dedup_corpus", "q_contamination_partial", "q_curation_pipeline",
     "q_paragraph_dedup", "q_training_order", "q_ordered_shards",
-    "q_packed_provenance", "q_loss_mask", "q_packed_spans")
+    "q_packed_provenance", "q_loss_mask", "q_packed_spans",
+    "q_masked_pipeline")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -981,6 +981,43 @@ object SparkEntry {
       Dedup.newAgainstIndex(s, "graft_dedup_idx", batch)
         .select(col("doc_id"), col("text_hash"))
     }),
+    // incremental NEAR-dup: a new batch probed against the persisted
+    // LSH band index (hashes+ids only, no text), candidates verified by
+    // the exact trigram tier over just the candidate docs — the
+    // near-dup ingestion loop closed like q_incremental_dedup closes
+    // the exact one. Batch = planted siblings of every %10 doc (one
+    // appended marker word => trigram J = n/(n+1) >= 6/7 vs the source,
+    // LSH-findable at threshold 0.5 — same derived preconditions as
+    // q_neardup_siblings) + clean synthetic docs (md5-hex words, zero
+    // shared trigrams => the verify tier kills any band collision).
+    // Projecting DISTINCT flagged batch ids insulates the oracle from
+    // the corpus's natural near-verbatim pairs (a sibling may ALSO
+    // match other docs; it is flagged either way).
+    "q_incremental_neardup" -> ((s, dir) => {
+      val g = docs(s, dir).agg(
+        min(size(split(col("text"), " "))).as("min_words"),
+        count(lit(1)).as("n"),
+        countDistinct(col("text")).as("n_distinct")).head()
+      require(g.getInt(0) >= 8,
+        s"sibling-recall oracle needs >= 8 words/doc (J >= 6/7); min is ${g.getInt(0)}")
+      require(g.getLong(1) == g.getLong(2),
+        "sibling-recall oracle needs all document texts distinct")
+      val corpus = docs(s, dir).select(col("doc_id"), col("text"))
+      Dedup.writeBandIndex(corpus, "graft_band_idx", nBuckets = 16)
+      val sib = corpus.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + lit(7000000L)).as("doc_id"),
+          concat(col("text"), lit(" zzincrementalmarker")).as("text"))
+      val clean = corpus.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + lit(8000000L)).as("doc_id"),
+          concat_ws(" ", md5(col("text")),
+            md5(concat(col("text"), lit("x"))),
+            md5(concat(col("text"), lit("y")))).as("text"))
+      val batch = sib.unionByName(clean)
+      val cand = Dedup.newNearDupCandidates(s, "graft_band_idx", batch)
+        .select(col("batch_id").as("a"), col("doc_id").as("b"))
+      Dedup.ngramJaccardPairs(corpus.unionByName(batch), cand, threshold = 0.5)
+        .select(col("a").cast("long").as("batch_id")).distinct()
+    }),
     // deterministic train/val/test split: consecutive ranges of the same
     // 65536 md5 buckets hashSample uses (90/5/5), so splits are disjoint
     // by construction and stable under re-runs/engines/cluster sizes
@@ -2090,6 +2127,13 @@ object SparkEntry {
           |  WHERE text NOT IN (SELECT text FROM corpus))
           |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, md5(text) AS text_hash
           |FROM nw GROUP BY md5(text)""".stripMargin.replace("\n", " "),
+      // planted construction: every %10 sibling is flagged (its source
+      // pair alone is J >= 6/7 > 0.5), every md5-word clean doc is not
+      // (zero shared trigrams with anything; the verify tier kills band
+      // collisions) — so the flagged batch-id set is algebraic
+      "q_incremental_neardup" ->
+        """SELECT DISTINCT CAST(doc_id + 7000000 AS BIGINT) AS batch_id
+          |FROM documents WHERE doc_id % 10 = 0""".stripMargin.replace("\n", " "),
       // 58982 = 0xe666 (90%), 58982+3277 = 62259 = 0xf333 (+5%), rest test
       "q_split_assign" ->
         """SELECT doc_id, CASE

@@ -732,6 +732,74 @@ object Dedup {
     inBatch.join(spark.table(indexTable), Seq("text_hash"), "left_anti")
   }
 
+  /** Persisted LSH BAND index — the NEAR-dup sibling of
+    * [[writeHashIndex]]: the accepted corpus's canonical minhash band
+    * keys stored as (doc_id, band_hash) — no text, no signatures —
+    * bucketed AND sorted on band_hash, so every future batch probes it
+    * with no corpus-side shuffle (and the hot-bucket census below
+    * aggregates on the bucket column shuffle-free too). After accepting
+    * a batch, append its band rows (`.mode("append")` keeps the bucket
+    * spec) and the near-dup ingestion loop closes exactly like the
+    * exact-dedup one.
+    */
+  def writeBandIndex(corpus: DataFrame, table: String,
+                     nBuckets: Int = 64): Unit = {
+    require(!table.contains(".") && !table.contains("/"),
+      s"writeBandIndex requires a single-part managed table name, got '$table'")
+    val spark = corpus.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    canonicalBands(canonicalSignatures(corpus))
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, "band_hash")
+      .sortBy("band_hash")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Near-dup CANDIDATES of a new batch against a [[writeBandIndex]]
+    * corpus: one row per (batch_id, doc_id) pair sharing at least one
+    * band bucket, with the shared-band count. The batch is signed and
+    * banded scan-side (its text never shuffles — only (id, band_hash)
+    * rows move toward the pre-bucketed index), and band buckets whose
+    * INDEX population exceeds `maxBucketSize` are excluded via the same
+    * broadcast anti-join gating as [[nearDupPairs]] — a bounded,
+    * observable loss ([[oversizeIndexBuckets]]) instead of an unbounded
+    * join blow-up on boilerplate clusters.
+    *
+    * This is the candidate tier only, by design: confirmation stays
+    * the existing exact verification ([[ngramJaccardPairs]] /
+    * [[ngramJaccardDetail]]) over the candidate docs' texts — point
+    * reads at corpus scale, never a corpus sweep.
+    */
+  def newNearDupCandidates(spark: org.apache.spark.sql.SparkSession,
+                           indexTable: String, batch: DataFrame,
+                           maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val idx = spark.table(indexTable)
+    val hot = oversizeBucketKeys(idx, maxBucketSize)
+    canonicalBands(canonicalSignatures(batch))
+      .withColumnRenamed("doc_id", "batch_id")
+      .join(broadcast(hot), Seq("band_hash"), "left_anti")
+      .join(idx, Seq("band_hash"))
+      .groupBy(col("batch_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** The dropped-bucket metric for [[newNearDupCandidates]]: index band
+    * buckets over the cap, with their populations (never silently
+    * truncate). Aggregates on the index's bucket column — shuffle-free.
+    */
+  def oversizeIndexBuckets(spark: org.apache.spark.sql.SparkSession,
+                           indexTable: String,
+                           maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    spark.table(indexTable)
+      .groupBy(col("band_hash"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucketSize)
+
   /** Decontamination as a corpus transform — the flag→DROP composition
     * that closes the loop [[contamination]]/[[contaminationPartial]]
     * open: remove from the corpus every document flagged as containing

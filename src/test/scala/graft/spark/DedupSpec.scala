@@ -59,6 +59,49 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.newAgainstIndex(spark, "dedup_idx_spec", batch).isEmpty)
   }
 
+  test("incremental near-dup vs persisted band index: siblings flagged, clean doc killed, append loop closes") {
+    val corpus = docs.select(col("doc_id"), col("text"))
+    Dedup.writeBandIndex(corpus, "band_idx_spec", nBuckets = 8)
+    val sib = corpus.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + lit(7000000L)).as("doc_id"),
+        concat(col("text"), lit(" zzincrementalmarker")).as("text"))
+    val clean = Seq((8000001L, "qqgibber wwgibber eegibber rrgibber ttgibber yygibber"))
+      .toDF("doc_id", "text")
+    val batch = sib.unionByName(clean)
+    val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val cand = try {
+      val c = Dedup.newNearDupCandidates(spark, "band_idx_spec", batch)
+      c.collect(); c
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+    // recall: every sibling's SOURCE is among its candidates
+    val nSib = sib.count()
+    assert(cand.filter(col("batch_id") === col("doc_id") + 7000000L).count() == nSib)
+    // plan gate: the band index side is read through its bucketed layout
+    val p = cand.queryExecution.executedPlan.toString
+    val fin = p.indexOf("== Initial Plan ==") match {
+      case -1 => p; case i => p.substring(0, i)
+    }
+    assert(fin.linesIterator.exists(_.contains("Bucketed: true")),
+      "the band index must be read through its bucketed layout")
+    // the verify tier kills any clean-doc band collision (zero shared
+    // trigrams) and keeps exactly the sibling set
+    val verified = Dedup.ngramJaccardPairs(corpus.unionByName(batch),
+      cand.select(col("batch_id").as("a"), col("doc_id").as("b")), threshold = 0.5)
+    val flagged = verified.select(col("a")).distinct()
+      .as[Long].collect().toSet
+    assert(flagged == sib.select($"doc_id").as[Long].collect().toSet)
+    assert(!flagged.contains(8000001L))
+    // the loop closes: append the accepted batch's band rows, re-probe —
+    // every batch doc (clean one included) now collides with itself
+    Dedup.bandTable(batch).select(col("doc_id"), col("band_hash"))
+      .write.mode("append").bucketBy(8, "band_hash").sortBy("band_hash")
+      .format("parquet").saveAsTable("band_idx_spec")
+    val self = Dedup.newNearDupCandidates(spark, "band_idx_spec", batch)
+      .filter(col("batch_id") === col("doc_id"))
+    assert(self.count() == batch.count())
+  }
+
   test("LSH near-dup recall: every injected append-one-word sibling is found") {
     val withP = Dedup.withPerturbed(docs)
     val pairs = Dedup.nearDupPairs(withP, simThreshold = 0.8)
