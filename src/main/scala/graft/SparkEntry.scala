@@ -495,6 +495,47 @@ object SparkEntry {
       deleteOnExitTree(work)
       StreamingDedup.readUnique(s, s"$work/out").select(col("text_hash"))
     }),
+    // STREAMING near-dup ingestion end-to-end: the corpus is indexed
+    // once (band index + text store), then a multi-file feed of planted
+    // siblings (every %10 doc + one marker word => trigram J >= 6/7 vs
+    // its source, same algebra as q_incremental_neardup) and clean
+    // synthetic docs (md5-hex words: zero shared trigrams with anything,
+    // so the verify tier kills any band collision) streams through in
+    // several micro-batches. Siblings are rejected against the INITIAL
+    // index and clean docs match nothing, so the accepted set is exactly
+    // the clean docs REGARDLESS of file-to-batch assignment — which is
+    // what makes a streaming operator's output SQL-predictable.
+    "q_stream_neardup" -> ((s, dir) => {
+      import graft.spark.StreamingNearDup
+      val g = docs(s, dir).agg(
+        min(size(split(col("text"), " "))).as("min_words"),
+        count(lit(1)).as("n"),
+        countDistinct(col("text")).as("n_distinct")).head()
+      require(g.getInt(0) >= 8,
+        s"sibling-rejection oracle needs >= 8 words/doc (J >= 6/7); min is ${g.getInt(0)}")
+      require(g.getLong(1) == g.getLong(2),
+        "sibling-rejection oracle needs all document texts distinct")
+      val corpus = docs(s, dir).select(col("doc_id"), col("text"))
+      val work = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("/tmp"), "graft-stream-nd").toString
+      Dedup.writeBandIndex(corpus, "graft_stream_band_idx", nBuckets = 16)
+      corpus.write.mode("overwrite").parquet(s"$work/corpus")
+      val sib = corpus.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + lit(7000000L)).as("doc_id"),
+          concat(col("text"), lit(" zzincrementalmarker")).as("text"))
+      val clean = corpus.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + lit(8000000L)).as("doc_id"),
+          concat_ws(" ", md5(col("text")),
+            md5(concat(col("text"), lit("x"))),
+            md5(concat(col("text"), lit("y")))).as("text"))
+      sib.unionByName(clean).repartition(8)
+        .write.mode("overwrite").parquet(s"$work/in")
+      StreamingNearDup.runAvailableNow(s, s"$work/in",
+        "graft_stream_band_idx", s"$work/corpus", s"$work/out",
+        nBuckets = 16, maxFilesPerTrigger = 2)
+      deleteOnExitTree(work)
+      StreamingNearDup.readAccepted(s, s"$work/out")
+    }),
     // ===== event-stream ops over events ====================================
     "q_sessionize" -> ((s, dir) =>
       Events.sessionize(s.read.parquet(s"$dir/events.parquet"), gapMinutes = 30)),
@@ -2009,6 +2050,15 @@ object SparkEntry {
           | FROM documents""".stripMargin.replace("\n", ""),
       "q_stream_dedup" ->
         "SELECT DISTINCT md5(text) AS text_hash FROM documents",
+      // planted construction: every streamed sibling is rejected against
+      // its source in the INITIAL index (J >= 6/7 > 0.5) and every
+      // md5-word clean doc matches nothing (zero shared trigrams; the
+      // exact verify tier kills band collisions) — so the accepted set
+      // is exactly the clean docs, independent of micro-batch boundaries
+      "q_stream_neardup" ->
+        """SELECT CAST(doc_id + 8000000 AS BIGINT) AS doc_id,
+          |md5(text) || ' ' || md5(text || 'x') || ' ' || md5(text || 'y') AS text
+          |FROM documents WHERE doc_id % 10 = 5""".stripMargin.replace("\n", " "),
       "q_dedup_exact" ->
         """SELECT md5(text) AS text_hash, count(*) AS cnt FROM (
           | SELECT text FROM documents

@@ -130,6 +130,47 @@ class StreamingSpec extends SparkTestBase {
     assert(hashes == batch)
   }
 
+  test("streaming near-dup ingestion: siblings rejected, clean docs accepted, loop closes across runs") {
+    val dir = tmpDir("graft-snd")
+    val in = s"$dir/in"; val out = s"$dir/out"
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    Dedup.writeBandIndex(corpus, "stream_band_idx_spec", nBuckets = 8)
+    corpus.write.mode("overwrite").parquet(s"$dir/corpus")
+    val sib = corpus.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + lit(7000000L)).as("doc_id"),
+        concat(col("text"), lit(" zzincrementalmarker")).as("text"))
+    val clean = Seq(
+      (8000001L, "qqgibber wwgibber eegibber rrgibber ttgibber yygibber"),
+      (8000002L, "uugibber iigibber oogibber ppgibber aagibber ssgibber"))
+      .toDF("doc_id", "text")
+    sib.unionByName(clean).repartition(4)
+      .write.mode("overwrite").parquet(in)
+    StreamingNearDup.runAvailableNow(spark, in, "stream_band_idx_spec",
+      s"$dir/corpus", out, nBuckets = 8, maxFilesPerTrigger = 1)
+    val accepted1 = StreamingNearDup.readAccepted(spark, out)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(accepted1 == Set(8000001L, 8000002L),
+      s"accepted must be exactly the clean docs, got $accepted1")
+    // idempotent re-run: checkpoint has seen every file, nothing changes
+    StreamingNearDup.runAvailableNow(spark, in, "stream_band_idx_spec",
+      s"$dir/corpus", out, nBuckets = 8, maxFilesPerTrigger = 1)
+    assert(StreamingNearDup.readAccepted(spark, out).count() == 2)
+    // the loop closes ACROSS runs: re-stream an accepted text under a
+    // new id — it is now a near-dup of the corpus (J = 1 vs the batch-1
+    // accept) and must be rejected; a genuinely new clean doc passes
+    Seq((9000001L, "qqgibber wwgibber eegibber rrgibber ttgibber yygibber"),
+        (9000002L, "ffgibber gggibber hhgibber jjgibber kkgibber llgibber"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(in)
+    StreamingNearDup.runAvailableNow(spark, in, "stream_band_idx_spec",
+      s"$dir/corpus", out, nBuckets = 8, maxFilesPerTrigger = 1)
+    val accepted3 = StreamingNearDup.readAccepted(spark, out)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(accepted3 == Set(8000001L, 8000002L, 9000002L),
+      s"re-streamed duplicate must be rejected, new clean doc accepted; got $accepted3")
+  }
+
   test("watermark-buffered sessionize: idle state is removed after retention (ADVICE r3)") {
     val dir = tmpDir("graft-bufttl")
     val in = s"$dir/in"
