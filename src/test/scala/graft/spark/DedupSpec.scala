@@ -102,6 +102,21 @@ class DedupSpec extends SparkTestBase {
     assert(self.count() == batch.count())
   }
 
+  test("oversizeIndexBuckets census aggregates on the bucket column shuffle-free") {
+    val corpus = docs.select(col("doc_id"), col("text"))
+    Dedup.writeBandIndex(corpus, "band_idx_census_spec", nBuckets = 8)
+    val census = Dedup.oversizeIndexBuckets(spark, "band_idx_census_spec")
+    census.collect()
+    val p = census.queryExecution.executedPlan.toString
+    val fin = p.indexOf("== Initial Plan ==") match {
+      case -1 => p; case i => p.substring(0, i)
+    }
+    assert(!fin.contains("Exchange"),
+      s"the bucket census must ride the index's bucketed layout, no shuffle:\n$fin")
+    assert(fin.linesIterator.exists(_.contains("Bucketed: true")),
+      "the census must read the index through its bucketed layout")
+  }
+
   test("LSH near-dup recall: every injected append-one-word sibling is found") {
     val withP = Dedup.withPerturbed(docs)
     val pairs = Dedup.nearDupPairs(withP, simThreshold = 0.8)
