@@ -822,7 +822,10 @@ object SparkEntry {
       // base texts are distinct BY CONSTRUCTION (doc_id-salted md5
       // words — see chainBase), so no runtime distinctness job is needed
       val base = chainBase(s, dir)
-      Dedup.nearDupGroups(Dedup.withPerturbedChain(base), simThreshold = 0.5)
+      // pin the synthesized chain universe once (nearDupGroups consults
+      // it in the LSH and verify subtrees — see q_dedup_corpus's note)
+      Dedup.nearDupGroups(Dedup.withPerturbedChain(base).localCheckpoint(),
+          simThreshold = 0.5)
         .select(col("doc_id").cast("long").as("member"),
           col("survivor").cast("long").as("survivor"))
     }),
@@ -837,6 +840,15 @@ object SparkEntry {
       val chained = Dedup.withPerturbedChain(base)
       val withExact = chained.unionByName(base.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + lit(3000000L)).as("doc_id"), col("text")))
+        // dedupedCorpus consults its corpus in four subtrees (exact-tier
+        // hashes, LSH signatures, trigram verify, final anti-join); its
+        // contract is a STORED corpus, where each consult is a pruned
+        // scan — but this universe is synthesized (16 md5s/doc), so
+        // each subtree would re-run the synthesis. Pin it once, as a
+        // stored corpus would be (GroupProfile-measured: 6.6 -> 4.0 s
+        // at sf0.1; same materialize-the-derived-input call as
+        // q_curation_pipeline's scored corpus).
+        .localCheckpoint()
       Dedup.dedupedCorpus(withExact, simThreshold = 0.5)
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
     }),

@@ -47,6 +47,39 @@ object GroupProfile {
       time("CC 2 iters")(println("  labeled=" + cc2.count()))
       val full = Dedup.dedupedCorpus(withExact, simThreshold = 0.5)
       time("full dedupedCorpus")(println("  kept=" + full.count()))
+      // the BENCH shape: noop-write of every output column (count()
+      // prunes the text synthesis away; the bench cannot)
+      val q = Dedup.dedupedCorpus(withExact, simThreshold = 0.5)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      time("bench shape (noop write)")(graft.Bench.runQuery(q))
+      // same, but with the synthesized universe pinned first — is the
+      // 4x re-synthesis of the planted texts the gap?
+      val pinned = withExact.localCheckpoint()
+      val qp = Dedup.dedupedCorpus(pinned, simThreshold = 0.5)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      time("bench shape, pinned universe")(graft.Bench.runQuery(qp))
+    }
+    // BUILD (dedupedCorpus runs the LSH -> verify -> CC actions eagerly
+    // through connectedComponentsConverged's checkpoints + convergence
+    // counts) vs RUN (the final anti-join + output materialization),
+    // with and without pinning the synthesized universe. This split is
+    // what located the round-5 fix: a count()-timed "fast path" was a
+    // measurement artifact (the df had been BUILT outside the timer and
+    // count() pruned the text synthesis), the real cost sat in BUILD,
+    // and the per-subtree re-synthesis of the planted texts was ~40% of
+    // the total — pinned: 6.6 -> 4.0 s wall at sf0.1 (q_dedup_corpus
+    // bench reps 7.0 -> 4.4 s).
+    for (rep <- 1 to 2) {
+      val qa = time(s"unpinned BUILD rep$rep")(
+        Dedup.dedupedCorpus(withExact, simThreshold = 0.5)
+          .select(col("doc_id").cast("long").as("doc_id"), col("text")))
+      time(s"unpinned RUN rep$rep")(graft.Bench.runQuery(qa))
+      val qc = time(s"pinned BUILD rep$rep") {
+        val pin = withExact.localCheckpoint()
+        Dedup.dedupedCorpus(pin, simThreshold = 0.5)
+          .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      }
+      time(s"pinned RUN rep$rep")(graft.Bench.runQuery(qc))
     }
     spark.stop()
   }
