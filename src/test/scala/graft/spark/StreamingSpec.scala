@@ -169,6 +169,19 @@ class StreamingSpec extends SparkTestBase {
       .select($"doc_id").as[Long].collect().toSet
     assert(accepted3 == Set(8000001L, 8000002L, 9000002L),
       s"re-streamed duplicate must be rejected, new clean doc accepted; got $accepted3")
+    // retry semantics: replay the SAME input against the SAME index —
+    // which now already holds every accepted doc's band/corpus rows, the
+    // worst-case partial-commit state — through a FRESH checkpoint and
+    // ledger. The batch_id =!= doc_id self-exclusion must make the
+    // replay reproduce the original decisions exactly (a doc finding
+    // ITSELF in the index is not a near-dup), not reject everything.
+    val out2 = s"$dir/out-replay"
+    StreamingNearDup.runAvailableNow(spark, in, "stream_band_idx_spec",
+      s"$dir/corpus", out2, nBuckets = 8, maxFilesPerTrigger = 1)
+    val replayed = StreamingNearDup.readAccepted(spark, out2)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(replayed == accepted3,
+      s"replay against the already-appended index must reproduce decisions; got $replayed")
   }
 
   test("watermark-buffered sessionize: idle state is removed after retention (ADVICE r3)") {
