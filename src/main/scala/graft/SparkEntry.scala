@@ -167,6 +167,34 @@ object SparkEntry {
         .select(col("conv_id"), col("turn_idx"),
           H.extractMainText(col("text")).as("extracted_text"))
     }),
+    // ===== text source adapters ===========================================
+    // the same extraction through a CSV round trip: transcripts staged
+    // as RFC-4180 CSV (quoted multiline HTML text — the adapter risk
+    // this actually tests), read back through the explicit-schema
+    // adapter, extracted per turn. Any byte the CSV quoting/timestamp
+    // path drops or mangles breaks the q_extract_main hash, so the
+    // EXISTING oracle pins the adapter end to end at zero extra
+    // derivation cost.
+    "q_source_csv" -> ((s, dir) => {
+      val work = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("/tmp"), "graft-src-csv").toString
+      Transcripts.writeCsv(Transcripts.derive(s, dir), s"$work/in")
+      deleteOnExitTree(work)
+      Transcripts.readCsv(s, s"$work/in").toDF()
+        .select(col("conv_id"), col("turn_idx"),
+          H.extractMainText(col("text")).as("extracted_text"))
+    }),
+    // same through newline-delimited JSON — the PREFERRED text format at
+    // scale (line-splittable; JSON escapes the newlines CSV must quote)
+    "q_source_json" -> ((s, dir) => {
+      val work = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("/tmp"), "graft-src-json").toString
+      Transcripts.writeJson(Transcripts.derive(s, dir), s"$work/in")
+      deleteOnExitTree(work)
+      Transcripts.readJson(s, s"$work/in").toDF()
+        .select(col("conv_id"), col("turn_idx"),
+          H.extractMainText(col("text")).as("extracted_text"))
+    }),
     // ===== the pipeline path (salted repartition + mapPartitions) ========
     "q_pipeline_extract" -> ((s, dir) => {
       val extracted = Pipeline.extractTurns(Transcripts.derive(s, dir))
@@ -1510,6 +1538,12 @@ object SparkEntry {
       "q_node_count" ->
         s"$cte SELECT conv_id, turn_idx, 38 + $NodeDeltaCase AS n_nodes FROM t",
       "q_extract_main" ->
+        s"$cte SELECT conv_id, turn_idx, $extractExpr AS extracted_text FROM t",
+      // the adapters must be IDENTITY on the transcripts, so the text
+      // round trips share q_extract_main's oracle verbatim
+      "q_source_csv" ->
+        s"$cte SELECT conv_id, turn_idx, $extractExpr AS extracted_text FROM t",
+      "q_source_json" ->
         s"$cte SELECT conv_id, turn_idx, $extractExpr AS extracted_text FROM t",
       "q_pipeline_extract" ->
         s"""$cte SELECT conv_id, turn_idx, $extractExpr AS extracted_text,

@@ -201,4 +201,87 @@ object Transcripts {
     import spark.implicits._
     spark.read.parquet(path).as[Turn]
   }
+
+  // ===== text source adapters (CSV / newline-delimited JSON) ==============
+  //
+  // Same Turn contract as the parquet path, for corpora that arrive as
+  // text exports instead of columnar files. Two rules both adapters
+  // enforce, because at 100 TB each is a silent correctness/throughput
+  // cliff:
+  //  - the schema is EXPLICIT (never inferSchema): inference is a whole
+  //    extra pass over the input, and CSV inference can settle on
+  //    different types per batch of files — a string turn_idx in one
+  //    ingest and an int in the next corrupts every downstream join;
+  //  - timestamps carry microseconds explicitly (Spark's default text
+  //    timestamp format drops sub-millisecond precision, which would
+  //    make a text round-trip silently non-identity).
+  //
+  // Splittability trade, documented not hidden: transcript text contains
+  // NEWLINES, so CSV needs multiLine=true — and a multiLine CSV file is
+  // NOT splittable (one task per file, however big). CSV input must
+  // therefore arrive pre-sharded into many files (writeCsv inherits the
+  // writer's partitioning for exactly this reason). ndjson has no such
+  // problem — JSON escapes newlines inside string literals, each record
+  // is one physical line, and the reader splits by line — so JSON is
+  // the preferred text format; the CSV adapter exists for corpora that
+  // already are CSV.
+
+  private val TsFormat = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  /** The Turn schema as an explicit StructType (adapters never infer). */
+  val turnSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.Encoders.product[Turn].schema
+
+  private val csvOptions = Map(
+    "header" -> "true",
+    // RFC 4180 double-quote escaping — what external CSV producers emit
+    "quote" -> "\"", "escape" -> "\"",
+    "multiLine" -> "true",
+    // Spark's default read nullValue is the EMPTY STRING, which would
+    // silently fold ""-valued fields (e.g. tool on non-tool turns) into
+    // null through the round trip — a distinct token keeps "" and null
+    // distinguishable, as parquet does natively
+    "nullValue" -> "\\N",
+    "timestampFormat" -> TsFormat)
+
+  /** Turn columns in schema order: CSV with a user schema binds columns
+    * by POSITION, so the writer must emit them in exactly this order. */
+  private def turnCols(df: DataFrame): DataFrame =
+    df.select(turnSchema.fieldNames.map(col).toIndexedSeq: _*)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    turnCols(df).write.options(csvOptions).csv(path)
+
+  def readCsv(spark: SparkSession, path: String): Dataset[Turn] = {
+    import spark.implicits._
+    spark.read.schema(turnSchema).options(csvOptions).csv(path).as[Turn]
+  }
+
+  /** [[readCsv]] with the no-silent-drop contract extended to the
+    * ingestion boundary: Spark's default PERMISSIVE mode turns a
+    * malformed line into an all-null row with no trace — at corpus
+    * scale malformed exports are a certainty, and silently nulled rows
+    * corrupt every downstream count. This read carries the raw text of
+    * every unparseable record in `corrupt_record` (null for good rows):
+    * filter it off for the clean table, aggregate it for the audit —
+    * the same observable-drop pattern as oversizeBuckets /
+    * contaminationHotFingerprints.
+    */
+  def readCsvAudited(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(turnSchema.add("corrupt_record",
+        org.apache.spark.sql.types.StringType))
+      .options(csvOptions)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "corrupt_record")
+      .csv(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    turnCols(df).write.option("timestampFormat", TsFormat).json(path)
+
+  def readJson(spark: SparkSession, path: String): Dataset[Turn] = {
+    import spark.implicits._
+    spark.read.schema(turnSchema)
+      .option("timestampFormat", TsFormat).json(path).as[Turn]
+  }
 }
