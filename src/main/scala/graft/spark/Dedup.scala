@@ -779,7 +779,16 @@ object Dedup {
                            indexTable: String, batch: DataFrame,
                            maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val idx = spark.table(indexTable)
-    val hot = oversizeBucketKeys(idx, maxBucketSize)
+    // DISTINCT docs per bucket, not rows: a crash-window replay can
+    // legally append a batch's band rows twice (the ledger commits
+    // last), and a row count would let those duplicates push a bucket
+    // over the cap and silently drop it from every future probe — the
+    // duplicate rows must stay storage-only. The distinct agg still
+    // rides the bucketed layout (band_hash is the clustering column).
+    val hot = idx.groupBy(col("band_hash"))
+      .agg(countDistinct(col("doc_id")).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucketSize)
+      .select(col("band_hash"))
     canonicalBands(canonicalSignatures(batch))
       .withColumnRenamed("doc_id", "batch_id")
       .join(broadcast(hot), Seq("band_hash"), "left_anti")
@@ -789,15 +798,17 @@ object Dedup {
   }
 
   /** The dropped-bucket metric for [[newNearDupCandidates]]: index band
-    * buckets over the cap, with their populations (never silently
-    * truncate). Aggregates on the index's bucket column — shuffle-free.
+    * buckets over the cap, with their DISTINCT-doc populations (never
+    * silently truncate; distinct for the same replay-duplicate reason
+    * as the gating above). Aggregates on the index's bucket column —
+    * shuffle-free.
     */
   def oversizeIndexBuckets(spark: org.apache.spark.sql.SparkSession,
                            indexTable: String,
                            maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
     spark.table(indexTable)
       .groupBy(col("band_hash"))
-      .agg(count(lit(1)).as("bucket_n"))
+      .agg(countDistinct(col("doc_id")).as("bucket_n"))
       .filter(col("bucket_n") > maxBucketSize)
 
   /** Decontamination as a corpus transform — the flag→DROP composition

@@ -23,9 +23,13 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * Contract and retry semantics:
   *  - WITHIN-batch near-dups are not resolved here (exactly as
   *    [[Dedup.dedupedCorpus]] is the within-corpus operator): candidates
-  *    come only from the index, so two near-dup docs arriving in one
-  *    micro-batch are both accepted. Pre-clean each batch with
-  *    [[Dedup.nearDupGroups]] if batches can self-collide.
+  *    come only from the index, so two NON-identical near-dup docs
+  *    arriving in one micro-batch are both accepted. Pre-clean each
+  *    batch with [[Dedup.nearDupGroups]] if batches can self-collide.
+  *    BYTE-IDENTICAL within-batch copies do share one fate: candidate
+  *    generation canonicalizes them to one probe, and the accept
+  *    anti-join is keyed on md5(text) so a flagged text rejects every
+  *    copy (an id-keyed join would accept the twins of a rejected doc).
   *  - Each batch's decisions are IDEMPOTENT under retry: the probe
   *    excludes self-matches (batch_id == doc_id), so a replay after a
   *    crash between the index append and the ledger commit reproduces
@@ -89,15 +93,29 @@ object StreamingNearDup {
           // candidate texts only: the corpus store is semi-joined down
           // to the candidate ids before any trigram work (refresh: this
           // path was appended to by the previous micro-batch, and a
-          // cached file listing would otherwise serve the stale view)
+          // cached file listing would otherwise serve the stale view);
+          // the select pins the (doc_id, text) contract — a seed corpus
+          // carrying extra columns must not fail the union below or
+          // widen the appended store
           bs.catalog.refreshByPath(corpusPath)
           val candCorpusTexts = bs.read.parquet(corpusPath)
+            .select(col("doc_id"), col("text"))
             .join(cand.select(col("b").as("doc_id")).distinct(),
               Seq("doc_id"), "left_semi")
           val flagged = Dedup
             .ngramJaccardPairs(pinned.unionByName(candCorpusTexts), cand, threshold)
             .select(col("a").as("doc_id")).distinct()
-          val accepted = pinned.join(flagged, Seq("doc_id"), "left_anti")
+          // reject by TEXT, not by id: candidate generation canonicalizes
+          // byte-identical batch texts to one min-id probe, so an id-keyed
+          // anti-join would reject the canonical copy and silently ACCEPT
+          // its byte-identical twins — admitting the very text just
+          // confirmed as a corpus near-dup. Expanding the flag over
+          // md5(text) gives every copy of a flagged text the same fate.
+          val flaggedHashes = pinned.join(flagged, Seq("doc_id"))
+            .select(md5(col("text")).as("flagged_hash")).distinct()
+          val accepted = pinned
+            .join(flaggedHashes,
+              md5(col("text")) === col("flagged_hash"), "left_anti")
             .localCheckpoint(true)
           accepted.write.mode("overwrite")
             .parquet(s"$outDir/accepted/batch=$batchId")

@@ -240,7 +240,12 @@ object Transcripts {
     // Spark's default read nullValue is the EMPTY STRING, which would
     // silently fold ""-valued fields (e.g. tool on non-tool turns) into
     // null through the round trip — a distinct token keeps "" and null
-    // distinguishable, as parquet does natively
+    // distinguishable, as parquet does natively. The token is the
+    // MySQL-dump null convention, and it is RESERVED: a field whose
+    // literal value is the two-character string \N reads back as null
+    // (quoting does not shield it — the parser matches nullValue after
+    // unquoting). Corpora that can legitimately contain bare \N fields
+    // should arrive as ndjson, which has a native null.
     "nullValue" -> "\\N",
     "timestampFormat" -> TsFormat)
 
@@ -266,6 +271,13 @@ object Transcripts {
     * filter it off for the clean table, aggregate it for the audit —
     * the same observable-drop pattern as oversizeBuckets /
     * contaminationHotFingerprints.
+    *
+    * CALLER CONTRACT: persist (cache / localCheckpoint / write) the
+    * returned frame BEFORE splitting on `corrupt_record` — Spark
+    * forbids queries over the raw text scan that reference only the
+    * internal corrupt-record column (a filtered count() prunes down to
+    * exactly that and throws AnalysisException), and persisting also
+    * guarantees the good/bad split reads one consistent parse pass.
     */
   def readCsvAudited(spark: SparkSession, path: String): DataFrame =
     spark.read
@@ -275,6 +287,21 @@ object Transcripts {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "corrupt_record")
       .csv(path)
+
+  /** The ndjson counterpart of [[readCsvAudited]] — the audited read
+    * matters MOST here because these docs steer corpora toward ndjson:
+    * a truncated line or a mis-typed field in PERMISSIVE mode would
+    * otherwise become an untraceable all-null row. Same caller
+    * contract: persist before splitting on `corrupt_record`.
+    */
+  def readJsonAudited(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(turnSchema.add("corrupt_record",
+        org.apache.spark.sql.types.StringType))
+      .option("timestampFormat", TsFormat)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "corrupt_record")
+      .json(path)
 
   def writeJson(df: DataFrame, path: String): Unit =
     turnCols(df).write.option("timestampFormat", TsFormat).json(path)

@@ -61,6 +61,20 @@ class SourceAdapterSpec extends SparkTestBase {
     assert(rec.contains("NOT_AN_INT"), s"raw malformed text must survive: $rec")
   }
 
+  test("audited ndjson read surfaces malformed records instead of nulling them") {
+    val dir = tmpDir("graft-json-bad")
+    Transcripts.writeJson(turns.limit(50), s"$dir/in")
+    val bad = new java.io.File(s"$dir/in/zz-bad.json")
+    val w = new java.io.PrintWriter(bad)
+    w.println("""{"conv_id":"conv-bad","turn_idx":"NOT_AN_INT","role":"user","text":"<p>x</p>""")
+    w.close()
+    val pinned = Transcripts.readJsonAudited(spark, s"$dir/in").localCheckpoint()
+    assert(pinned.filter($"corrupt_record".isNull).count() == 50)
+    val badRows = pinned.filter($"corrupt_record".isNotNull)
+    assert(badRows.count() == 1)
+    assert(badRows.select($"corrupt_record").as[String].head().contains("NOT_AN_INT"))
+  }
+
   test("ndjson round trip is identity and line-splittable") {
     val dir = tmpDir("graft-json")
     Transcripts.writeJson(turns.repartition(4), s"$dir/in")

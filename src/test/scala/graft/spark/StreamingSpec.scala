@@ -144,8 +144,16 @@ class StreamingSpec extends SparkTestBase {
       (8000001L, "qqgibber wwgibber eegibber rrgibber ttgibber yygibber"),
       (8000002L, "uugibber iigibber oogibber ppgibber aagibber ssgibber"))
       .toDF("doc_id", "text")
-    sib.unionByName(clean).repartition(4)
+    // byte-identical twin of one sibling under a fresh id, forced into
+    // the SAME file (= same micro-batch) as its canonical: candidate
+    // generation canonicalizes the pair to one probe, and the md5-keyed
+    // accept join must reject BOTH copies (an id-keyed join would
+    // silently admit the twin of the rejected canonical)
+    val twin = sib.orderBy($"doc_id").limit(1)
+      .select(lit(7777777L).as("doc_id"), col("text"))
+    sib.unionByName(twin).coalesce(1)
       .write.mode("overwrite").parquet(in)
+    clean.coalesce(1).write.mode("append").parquet(in)
     StreamingNearDup.runAvailableNow(spark, in, "stream_band_idx_spec",
       s"$dir/corpus", out, nBuckets = 8, maxFilesPerTrigger = 1)
     val accepted1 = StreamingNearDup.readAccepted(spark, out)
