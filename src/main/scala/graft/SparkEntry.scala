@@ -1047,7 +1047,8 @@ object SparkEntry {
             lit(".1 ref 4921")))
           .otherwise(col("text")).as("text"))
       Filtering.redactPii(injected)
-        .select(col("doc_id"), col("text"), col("n_emails"), col("n_ips"))
+        .select(col("doc_id"), col("text"), col("n_emails"), col("n_ips"),
+          col("n_nums"))
     }),
     // incremental exact dedup: corpus (doc_id%3!=0) is indexed ONCE as
     // bucketed md5 hashes; the batch (doc_id%2==0) anti-joins against
@@ -2214,7 +2215,10 @@ object SparkEntry {
           |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '[IP]', 'g'),
           |    '[0-9]{4,}', '[NUM]', 'g') AS text,
           |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
-          |  CAST(len(regexp_extract_all(text, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS INT) AS n_ips
+          |  CAST(len(regexp_extract_all(text, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS INT) AS n_ips,
+          |  CAST(len(regexp_extract_all(regexp_replace(regexp_replace(text,
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+          |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '[IP]', 'g'), '[0-9]{4,}')) AS INT) AS n_nums
           |FROM inj""".stripMargin.replace("\n", " "),
       "q_incremental_dedup" ->
         """WITH corpus AS (SELECT text FROM documents WHERE doc_id % 3 <> 0),

@@ -148,6 +148,12 @@ object Filtering {
     * broadcast join — at 100 TB the strata table is a handful of rows
     * against a scan-wide filter, and rates can come from an upstream
     * computation rather than code.
+    *
+    * A stratum present in the data but absent from `rates` (null
+    * included) fails LOUDLY at execution — the left join + raise_error
+    * pattern shared with epochMix / selectToBudgetByDomain: an inner
+    * join would silently drop the whole stratum, corrupting the
+    * sampled mixture with no trace (the no-silent-drop contract).
     */
   def hashSampleStratified(df: DataFrame, keyCol: Column, strataCol: Column,
                            rates: Map[String, Int],
@@ -157,8 +163,12 @@ object Filtering {
     import spark.implicits._
     val rdf = rates.toSeq.map { case (k, v) => (k, thresholdHex(v)) }
       .toDF("__stratum", "__thr")
-    df.join(broadcast(rdf), strataCol === col("__stratum"))
-      .filter(hashBucket(keyCol, salt) < col("__thr"))
+    val thr = when(col("__thr").isNull,
+        raise_error(concat(lit("hashSampleStratified: stratum without a rate: "),
+          coalesce(strataCol.cast("string"), lit("NULL")))).cast("string"))
+      .otherwise(col("__thr"))
+    df.join(broadcast(rdf), strataCol === col("__stratum"), "left")
+      .filter(hashBucket(keyCol, salt) < thr)
       .drop("__stratum", "__thr")
   }
 
@@ -194,14 +204,7 @@ object Filtering {
       case other => throw new IllegalArgumentException(
         s"selectToBudget score must be numeric, got $other")
     }).map(r => (r.getAs[Any](0), r.getLong(1)))
-    var cum = 0L
-    var boundary: Option[(Any, Long)] = None // (boundary score, budget already spent above it)
-    val it = byScore.iterator
-    while (it.hasNext && boundary.isEmpty) {
-      val (s, t) = it.next()
-      if (cum + t > budget) boundary = Some((s, cum)) else cum += t
-    }
-    boundary match {
+    budgetBoundary(byScore, budget) match {
       case None => df // whole corpus fits
       case Some((bScore, spentAbove)) =>
         val full = df.filter(scoreCol > lit(bScore))
@@ -213,6 +216,25 @@ object Filtering {
           .drop("__cum")
         full.unionByName(edge)
     }
+  }
+
+  /** Walk a (score, tokenSum) histogram best-score-first against a
+    * budget: None = everything fits; Some((boundaryScore, spentAbove))
+    * = strictly-better buckets fit whole and the boundary bucket gets
+    * the remainder. ONE shared implementation for the global and
+    * per-domain selectors so boundary placement can never silently
+    * diverge between them.
+    */
+  private def budgetBoundary(byScore: Seq[(Any, Long)],
+                             budget: Long): Option[(Any, Long)] = {
+    var cum = 0L
+    var boundary: Option[(Any, Long)] = None
+    val it = byScore.iterator
+    while (it.hasNext && boundary.isEmpty) {
+      val (s, t) = it.next()
+      if (cum + t > budget) boundary = Some((s, cum)) else cum += t
+    }
+    boundary
   }
 
   /** Per-domain token-budget selection — the mixture-curation step:
@@ -258,14 +280,7 @@ object Filtering {
       hist.groupBy(_.getAs[String](0)).map { case (dom, rows) =>
         val byScore = rows.sortBy(r => -scoreKey(r.getAs[Any](1)))
           .map(r => (r.getAs[Any](1), r.getLong(2)))
-        var cum = 0L
-        var boundary: Option[(Any, Long)] = None
-        val it = byScore.iterator
-        while (it.hasNext && boundary.isEmpty) {
-          val (s, t) = it.next()
-          if (cum + t > budgets(dom)) boundary = Some((s, cum)) else cum += t
-        }
-        dom -> boundary
+        dom -> budgetBoundary(byScore, budgets(dom))
       }
     // full buckets: CASE-folded per-domain predicate over one scan
     val fullCond = boundaries.foldLeft(lit(false)) {
@@ -303,9 +318,17 @@ object Filtering {
     * silently landing in no split would violate the no-silent-drop
     * contract. Pure projection: shuffle-free, scan-speed.
     *
-    * Because the bucket space is shared with [[hashSample]], a
-    * down-sampled corpus keeps its split proportions drift-free:
-    * sampling truncates the same hash order the splits partition.
+    * Composition with [[hashSample]] — two regimes, choose by salt:
+    *  - SAME salt: split membership is stable (a surviving row keeps
+    *    its split) but proportions are DESTROYED — the sample keeps a
+    *    prefix of the very bucket order the splits partition, so every
+    *    survivor lands in the earliest split(s) and a keep rate below
+    *    the train weight empties val/test entirely. Never downsample
+    *    with the split salt.
+    *  - DIFFERENT salts: the sample is independent of the split
+    *    assignment, so proportions are preserved in expectation AND
+    *    each row's split stays stable. This is the correct
+    *    downsample-then-split composition.
     */
   def assignSplit(df: DataFrame, keyCol: Column,
                   splits: Seq[(String, Int)],
@@ -333,19 +356,23 @@ object Filtering {
 
   /** PII redaction: mask emails, IPv4 addresses, and long digit runs
     * (phone/account-number shaped) with typed placeholders, and report
-    * per-row match counts (counts are taken BEFORE masking, on the
-    * original text). Pure `regexp_replace`/`regexp_extract_all`
-    * projection: codegen'd, shuffle-free, scan-speed.
+    * per-row match counts for ALL THREE patterns (a masked pattern
+    * without its count would be an unobservable rewrite). n_emails and
+    * n_ips count on the original text; n_nums counts on the
+    * email/IP-masked intermediate — exactly the matches the [NUM] mask
+    * rewrites (a digit run inside an email has already been masked and
+    * must not be double-counted). Pure `regexp_replace`/
+    * `regexp_extract_all` projection: codegen'd, shuffle-free,
+    * scan-speed.
     */
   def redactPii(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
+    val noEmailIp = regexp_replace(
+      regexp_replace(t, EmailPattern, "[EMAIL]"), Ipv4Pattern, "[IP]")
     df.withColumn("n_emails", size(regexp_extract_all(t, lit(EmailPattern), lit(0))))
       .withColumn("n_ips", size(regexp_extract_all(t, lit(Ipv4Pattern), lit(0))))
-      .withColumn(textCol,
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(t, EmailPattern, "[EMAIL]"),
-            Ipv4Pattern, "[IP]"),
-          DigitRunPattern, "[NUM]"))
+      .withColumn("n_nums",
+        size(regexp_extract_all(noEmailIp, lit(DigitRunPattern), lit(0))))
+      .withColumn(textCol, regexp_replace(noEmailIp, DigitRunPattern, "[NUM]"))
   }
 }

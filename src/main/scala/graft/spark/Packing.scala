@@ -252,9 +252,10 @@ object Packing {
     */
   def affectedSequencesByDocs(assignments: DataFrame, docIds: DataFrame,
                               idCol: String = "doc_id"): DataFrame =
-    assignments
-      .join(docIds.select(col(idCol)).distinct(), Seq(idCol))
-      .groupBy(col("shard"), col("seq_idx"))
-      .agg(array_join(array_sort(collect_set(col(idCol).cast("string"))), ",")
-        .as("hit_docs"))
+    // delegate: the join IS the takedown filter, the hit_docs
+    // aggregation must stay byte-identical between the predicate and
+    // list variants (one shape for both traceback directions)
+    affectedSequences(
+      assignments.join(docIds.select(col(idCol)).distinct(), Seq(idCol)),
+      lit(true), idCol)
 }

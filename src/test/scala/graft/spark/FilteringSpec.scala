@@ -88,6 +88,16 @@ class FilteringSpec extends SparkTestBase {
         .select($"doc_id").as[Long].collect().toSet
     }.reduce(_ union _)
     assert(got == want)
+    // a stratum without a rate must fail LOUDLY, never silently vanish
+    // (the epochMix/selectToBudgetByDomain no-silent-drop pattern)
+    val withUnrated = df.withColumn("lang",
+      when(col("doc_id") === 0, "code").otherwise(col("lang")))
+    val ex = intercept[Exception] {
+      Filtering.hashSampleStratified(withUnrated, col("doc_id"), col("lang"), rates)
+        .count()
+    }
+    assert(ex.getMessage.contains("stratum without a rate") ||
+      Option(ex.getCause).exists(_.getMessage.contains("stratum without a rate")))
   }
 
   test("selectToBudget equals the global (score DESC, id ASC) prefix rule") {
@@ -169,12 +179,15 @@ class FilteringSpec extends SparkTestBase {
       "nothing sensitive here at all",
       "bob@ex.co from 8.8.8.8 acct 55551234")
     val out = Filtering.redactPii(mkDocs(texts))
-      .select($"doc_id", $"text", $"n_emails", $"n_ips")
-      .as[(Long, String, Int, Int)].collect().sortBy(_._1)
+      .select($"doc_id", $"text", $"n_emails", $"n_ips", $"n_nums")
+      .as[(Long, String, Int, Int, Int)].collect().sortBy(_._1)
     assert(out(0)._2 == "write to [EMAIL] today" && out(0)._3 == 1 && out(0)._4 == 0)
     assert(out(1)._2 == "server at [IP] and [IP] responded" && out(1)._4 == 2)
-    assert(out(2)._2 == "ref [NUM] and pin [NUM] but not 123")
-    assert(out(3)._2 == texts(3) && out(3)._3 == 0 && out(3)._4 == 0)
+    assert(out(2)._2 == "ref [NUM] and pin [NUM] but not 123" && out(2)._5 == 2)
+    assert(out(3)._2 == texts(3) && out(3)._3 == 0 && out(3)._4 == 0 && out(3)._5 == 0)
     assert(out(4)._2 == "[EMAIL] from [IP] acct [NUM]" && out(4)._3 == 1 && out(4)._4 == 1)
+    // n_nums counts what [NUM] actually masks: the digit run inside the
+    // already-masked email/IP is NOT double-counted
+    assert(out(4)._5 == 1)
   }
 }
