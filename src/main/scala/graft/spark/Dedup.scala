@@ -28,8 +28,13 @@ object Dedup {
     Fingerprints.minHash(Fingerprints.wordShingles(if (text == null) "" else text)).toSeq)
   private val bandsUdf = udf((sig: Seq[Long]) =>
     Fingerprints.lshBands(sig.toArray).toSeq)
+  // null texts shingle as "" (the sigUdf convention): Scala UDFs over
+  // String args ARE invoked with null, and an unguarded null would NPE
+  // the verification tier mid-composition
   private val jaccardUdf = udf((a: String, b: String) =>
-    Fingerprints.jaccard(Fingerprints.wordShingles(a), Fingerprints.wordShingles(b)))
+    Fingerprints.jaccard(
+      Fingerprints.wordShingles(if (a == null) "" else a),
+      Fingerprints.wordShingles(if (b == null) "" else b)))
   private val minhashSimUdf = udf((a: Seq[Long], b: Seq[Long]) =>
     Fingerprints.minHashSimilarity(a.toArray, b.toArray))
 
@@ -187,14 +192,9 @@ object Dedup {
   }
 
   private val jaccardDetailUdf = udf((a: String, b: String) => {
-    val sa = Fingerprints.wordShingles(a)
-    val sb = Fingerprints.wordShingles(b)
-    var i = 0; var j = 0; var inter = 0
-    while (i < sa.length && j < sb.length) {
-      if (sa(i) == sb(j)) { inter += 1; i += 1; j += 1 }
-      else if (sa(i) < sb(j)) i += 1
-      else j += 1
-    }
+    val sa = Fingerprints.wordShingles(if (a == null) "" else a)
+    val sb = Fingerprints.wordShingles(if (b == null) "" else b)
+    val inter = Fingerprints.intersectionCount(sa, sb)
     (inter.toLong, (sa.length + sb.length - inter).toLong)
   })
 
@@ -334,30 +334,44 @@ object Dedup {
     * winnow, and no corpus-side shuffle (the bucketed layout already
     * satisfies the join/agg clustering — PlanSpec-gated).
     */
-  def writeFingerprintIndex(corpus: DataFrame, table: String,
-                            nBuckets: Int = 64): Unit = {
-    // the orphan-location cleanup below derives the managed path from the
-    // table NAME; a qualified name (db.tbl) or custom location would make
-    // that derivation point at the wrong directory — restrict to
-    // single-part managed tables and fail loudly otherwise (ADVICE r4)
+  /** Shared writer for the three persisted dedup indexes (fingerprint /
+    * hash / band): drop any existing table, clear an orphaned managed
+    * location (a previous session may have left files behind with no
+    * catalog entry in THIS session's metastore — saveAsTable then
+    * refuses with LOCATION_ALREADY_EXISTS), and write bucketed+sorted
+    * on the probe key. ONE implementation so the path logic cannot
+    * drift between the three indexes.
+    *
+    * The orphan path comes from the CATALOG's own placement rule
+    * (`defaultTablePath`), not string concatenation off the warehouse
+    * dir: with a non-default current database the managed location is
+    * <warehouse>/<db>.db/<table>, and a name-concatenated path would
+    * delete a DIFFERENT database's directory while missing the real
+    * orphan. Single-part names only — a qualified name or custom
+    * location is outside this helper's contract.
+    */
+  private def writeBucketedIndex(df: DataFrame, table: String,
+                                 keyCol: String, nBuckets: Int): Unit = {
     require(!table.contains(".") && !table.contains("/"),
-      s"writeFingerprintIndex requires a single-part managed table name, got '$table'")
-    val spark = corpus.sparkSession
+      s"index writer requires a single-part managed table name, got '$table'")
+    val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    // a previous session may have left the managed location behind with
-    // no catalog entry in THIS session's metastore — saveAsTable then
-    // refuses with LOCATION_ALREADY_EXISTS, so clear the orphan first
     val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    fingerprintTable(corpus).distinct()
-      .write.mode("overwrite")
-      .bucketBy(nBuckets, "fingerprint")
-      .sortBy("fingerprint")
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, keyCol)
+      .sortBy(keyCol)
       .format("parquet")
       .saveAsTable(table)
   }
+
+  def writeFingerprintIndex(corpus: DataFrame, table: String,
+                            nBuckets: Int = 64): Unit =
+    writeBucketedIndex(fingerprintTable(corpus).distinct(),
+      table, "fingerprint", nBuckets)
 
   /** Contamination check against a persisted index written by
     * [[writeFingerprintIndex]] — identical output to [[contamination]]
@@ -577,7 +591,12 @@ object Dedup {
   def dedupedCorpus(docs: DataFrame, simThreshold: Double = 0.7,
                     jaccardThreshold: Double = 0.5, iters: Int = 8,
                     maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    val ids = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    // hash coalesce(text, ''): md5(null) is SQL null, and null never
+    // equals null in the equi-join below — null-text duplicates would
+    // silently escape the exact tier (sigUdf already treats null as ""
+    // on the near-dup tier, so the two tiers now agree)
+    val ids = docs.select(col("doc_id"),
+      md5(coalesce(col("text"), lit(""))).as("h"))
     val keep = ids.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
     val exactLosers = ids.join(keep, "h")
       .filter(col("doc_id") =!= col("keep_id"))
@@ -693,22 +712,13 @@ object Dedup {
     * the bucket spec) and the loop continues.
     */
   def writeHashIndex(corpus: DataFrame, table: String,
-                     nBuckets: Int = 64): Unit = {
-    require(!table.contains(".") && !table.contains("/"),
-      s"writeHashIndex requires a single-part managed table name, got '$table'")
-    val spark = corpus.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
-    corpus.select(md5(col("text")).as("text_hash")).distinct()
-      .write.mode("overwrite")
-      .bucketBy(nBuckets, "text_hash")
-      .sortBy("text_hash")
-      .format("parquet")
-      .saveAsTable(table)
-  }
+                     nBuckets: Int = 64): Unit =
+    // null text hashes as '' (not SQL null): a null md5 never equals
+    // anything in the anti-join below, so a null-text doc would be
+    // re-accepted as "new" in EVERY batch — unbounded duplicates
+    writeBucketedIndex(
+      corpus.select(md5(coalesce(col("text"), lit(""))).as("text_hash")).distinct(),
+      table, "text_hash", nBuckets)
 
   /** Incremental exact dedup of a new batch against a [[writeHashIndex]]
     * corpus: rows whose text was never seen — neither in the indexed
@@ -725,7 +735,8 @@ object Dedup {
                       indexTable: String, batch: DataFrame,
                       idCol: String = "doc_id"): DataFrame = {
     val inBatch = batch
-      .select(col(idCol), md5(col("text")).as("text_hash"), col("text"))
+      .select(col(idCol),
+        md5(coalesce(col("text"), lit(""))).as("text_hash"), col("text"))
       .groupBy(col("text_hash"))
       .agg(min_by(struct(col(idCol), col("text")), col(idCol)).as("w"))
       .select(col(s"w.$idCol").as(idCol), col("text_hash"), col("w.text").as("text"))
@@ -743,22 +754,9 @@ object Dedup {
     * exact-dedup one.
     */
   def writeBandIndex(corpus: DataFrame, table: String,
-                     nBuckets: Int = 64): Unit = {
-    require(!table.contains(".") && !table.contains("/"),
-      s"writeBandIndex requires a single-part managed table name, got '$table'")
-    val spark = corpus.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
-    canonicalBands(canonicalSignatures(corpus))
-      .write.mode("overwrite")
-      .bucketBy(nBuckets, "band_hash")
-      .sortBy("band_hash")
-      .format("parquet")
-      .saveAsTable(table)
-  }
+                     nBuckets: Int = 64): Unit =
+    writeBucketedIndex(canonicalBands(canonicalSignatures(corpus)),
+      table, "band_hash", nBuckets)
 
   /** Near-dup CANDIDATES of a new batch against a [[writeBandIndex]]
     * corpus: one row per (batch_id, doc_id) pair sharing at least one
@@ -876,10 +874,17 @@ object Dedup {
     // Out-of-range rows fail LOUDLY (a wrapped coordinate would pick a
     // wrong winner silently): doc_id ∈ [0, 2^42) covers 4.4e12 docs,
     // idx < 2^21 allows 2M paragraphs per doc.
+    // the isnull arm matters: for a NULL (or null-casting) id the range
+    // predicates evaluate to SQL null, the otherwise branch would pack a
+    // null key, keep would be null for every paragraph, and the doc's
+    // text would silently empty — the exact outcome this guard exists
+    // to prevent
     val packed = when(
-      col(idCol) < 0L || col(idCol) >= (1L << 42) || col("idx") >= (1L << 21),
+      isnull(col(idCol).cast("long")) ||
+        col(idCol) < 0L || col(idCol) >= (1L << 42) || col("idx") >= (1L << 21),
       raise_error(concat(lit("paragraphDedup: coordinate out of packable range: "),
-        col(idCol).cast("string"), lit(":"), col("idx").cast("string"))).cast("long"))
+        coalesce(col(idCol).cast("string"), lit("NULL")), lit(":"),
+        col("idx").cast("string"))).cast("long"))
       .otherwise(shiftleft(col(idCol).cast("long"), 21) + col("idx"))
     val exploded = docs
       .select(col(idCol),

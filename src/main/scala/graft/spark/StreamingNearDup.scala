@@ -112,10 +112,12 @@ object StreamingNearDup {
           // confirmed as a corpus near-dup. Expanding the flag over
           // md5(text) gives every copy of a flagged text the same fate.
           val flaggedHashes = pinned.join(flagged, Seq("doc_id"))
-            .select(md5(col("text")).as("flagged_hash")).distinct()
+            .select(md5(coalesce(col("text"), lit(""))).as("flagged_hash"))
+            .distinct()
           val accepted = pinned
             .join(flaggedHashes,
-              md5(col("text")) === col("flagged_hash"), "left_anti")
+              md5(coalesce(col("text"), lit(""))) === col("flagged_hash"),
+              "left_anti")
             .localCheckpoint(true)
           accepted.write.mode("overwrite")
             .parquet(s"$outDir/accepted/batch=$batchId")

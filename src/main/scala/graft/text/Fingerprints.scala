@@ -77,14 +77,23 @@ object Fingerprints {
 
   /** Exact Jaccard of two sorted hash arrays. */
   def jaccard(a: Array[Long], b: Array[Long]): Double = {
+    val inter = intersectionCount(a, b)
+    val union = a.length + b.length - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  /** Sorted-distinct merge intersection size — the one audited home of
+    * the two-pointer walk (jaccard above and the integer-count verify
+    * tier both use it; inputs MUST be sorted and duplicate-free, as
+    * every shingle producer here guarantees). */
+  def intersectionCount(a: Array[Long], b: Array[Long]): Int = {
     var i = 0; var j = 0; var inter = 0
     while (i < a.length && j < b.length) {
       if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
       else if (a(i) < b(j)) i += 1
       else j += 1
     }
-    val union = a.length + b.length - inter
-    if (union == 0) 1.0 else inter.toDouble / union
+    inter
   }
 
   /** MinHash signature: numPerms permutations h_i(x) = mix64(x + seed_i),

@@ -117,6 +117,29 @@ class DedupSpec extends SparkTestBase {
       "the census must read the index through its bucketed layout")
   }
 
+  test("null-text docs flow through the whole dedup stack without NPE or silent escape") {
+    val weird = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, ""),
+      (4L, "regular words sit here calmly"))
+      .toDF("doc_id", "text")
+    // null and "" shingle identically (the sigUdf convention), so the
+    // verify tier must survive the null and the exact tier must collapse
+    // the null/"" family to min doc_id instead of letting null md5 keys
+    // slip every equi-join
+    val kept = Dedup.dedupedCorpus(weird, simThreshold = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L), s"null/empty family must collapse to min id: $kept")
+    // the incremental loop must not re-accept a null-text doc forever
+    Dedup.writeHashIndex(weird, "nulltext_idx_spec", nBuckets = 4)
+    val again = Seq((9L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    assert(Dedup.newAgainstIndex(spark, "nulltext_idx_spec", again).isEmpty)
+    // a null doc id must fail paragraphDedup loudly, not empty the doc
+    val badId = Seq((java.lang.Long.valueOf(5L), "a.b"), (null.asInstanceOf[java.lang.Long], "c.d"))
+      .toDF("doc_id", "text")
+    val ex = intercept[Exception](Dedup.paragraphDedup(badId, sep = ".").collect())
+    assert(ex.getMessage.contains("out of packable range") ||
+      Option(ex.getCause).exists(_.getMessage.contains("out of packable range")))
+  }
+
   test("LSH near-dup recall: every injected append-one-word sibling is found") {
     val withP = Dedup.withPerturbed(docs)
     val pairs = Dedup.nearDupPairs(withP, simThreshold = 0.8)
