@@ -89,8 +89,12 @@ object Filtering {
     * no matter what feeds this operator.
     */
   def repetitionStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    // null text folds to '' (the Chunking/Dedup convention): without the
+    // coalesce every stat — and gopherRepetitionFilter's `keep` flag —
+    // is SQL null, and the standard `.filter(keep)` call site then drops
+    // null-text docs with no trace
     val statsSql =
-      s"""element_at(transform(array(split(`$textCol`, ' ')), __ws -> named_struct(
+      s"""element_at(transform(array(split(coalesce(`$textCol`, ''), ' ')), __ws -> named_struct(
          | 'n_words', size(__ws),
          | 'top2', ${runStatsSql(sortedGramsSql("__ws", 2))}.top,
          | 'dup3', ${runStatsSql(sortedGramsSql("__ws", 3))}.dup)), 1)"""
@@ -115,8 +119,10 @@ object Filtering {
                              maxDup3Bp: Int = 2000): DataFrame =
     repetitionStats(df, textCol)
       .withColumn("keep",
-        col("top2_chars") * 10000 <= lit(maxTop2Bp).cast("long") * octet_length(col(textCol)) &&
-        col("dup3_chars") * 10000 <= lit(maxDup3Bp).cast("long") * octet_length(col(textCol)))
+        col("top2_chars") * 10000 <=
+          lit(maxTop2Bp).cast("long") * octet_length(coalesce(col(textCol), lit(""))) &&
+        col("dup3_chars") * 10000 <=
+          lit(maxDup3Bp).cast("long") * octet_length(coalesce(col(textCol), lit(""))))
 
   /** Deterministic Bernoulli-style sampling: keep a row iff the first
     * 16 bits of md5(salt ':' key) fall below `keepOf65536`. Exactly
@@ -140,8 +146,19 @@ object Filtering {
   private def thresholdHex(keepOf65536: Int): String =
     if (keepOf65536 >= 65536) "g" else f"$keepOf65536%04x"
 
-  private def hashBucket(keyCol: Column, salt: String): Column =
-    substring(md5(concat(lit(salt + ":"), keyCol.cast("string"))), 1, 4)
+  private def hashBucket(keyCol: Column, salt: String): Column = {
+    // a NULL key hashes to a NULL bucket, and every consumer then
+    // misbehaves SILENTLY: hashSample's `<` filter evaluates to null and
+    // drops the row with no trace, hashSampleStratified likewise, and
+    // assignSplit's when-chain falls through to dump every null-key row
+    // in the LAST split — three different corruptions of the same
+    // determinism contract. Fail loudly instead (the epochMix pattern).
+    val k = when(keyCol.isNull,
+      raise_error(lit("deterministic hash key is NULL — hashSample/" +
+        "hashSampleStratified/assignSplit require a non-null key")).cast("string"))
+      .otherwise(keyCol.cast("string"))
+    substring(md5(concat(lit(salt + ":"), k)), 1, 4)
+  }
 
   /** Stratified deterministic sampling: per-stratum keep rates (same
     * /65536 units as [[hashSample]]). Rates travel as DATA through a

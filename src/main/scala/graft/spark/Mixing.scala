@@ -78,7 +78,15 @@ object Mixing {
     require(shardHexDigits >= 1 && shardHexDigits <= 8,
       s"shardHexDigits out of range: $shardHexDigits")
     import org.apache.spark.sql.expressions.Window
-    val ok = md5(concat(lit(salt + ":"), keyCol.cast("string")))
+    // a NULL key would yield a NULL order key AND a NULL shard — the row
+    // falls out of the total order silently (and ties among null keys
+    // are nondeterministic). Fail loudly, like the hash-key guard in
+    // Filtering.hashBucket.
+    val keyStr = when(keyCol.isNull,
+      raise_error(lit("trainingOrder key is NULL — the total order needs a " +
+        "non-null unique key")).cast("string"))
+      .otherwise(keyCol.cast("string"))
+    val ok = md5(concat(lit(salt + ":"), keyStr))
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("order_key").asc, keyCol.cast("string").asc)
     df.withColumn("order_key", ok)

@@ -61,6 +61,27 @@ class FilteringSpec extends SparkTestBase {
     assert(!flags(0L) && flags(1L))
   }
 
+  test("null hash keys fail loudly; null text folds to the empty-text convention") {
+    // a null key used to hash to a null bucket: hashSample then silently
+    // DROPPED the row and assignSplit dumped it in the last split
+    val ids = Seq(Some(1L), None).toDF("doc_id")
+    def loud(f: => Unit): Unit = {
+      val ex = intercept[Exception](f)
+      assert(ex.getMessage.contains("non-null key") ||
+        Option(ex.getCause).exists(_.getMessage.contains("non-null key")),
+        s"expected the null-key guard, got: ${ex.getMessage}")
+    }
+    loud(Filtering.hashSample(ids, col("doc_id"), 32768).count())
+    loud(Filtering.assignSplit(ids, col("doc_id"),
+      Seq("train" -> 58982, "val" -> 6554)).select($"split").collect())
+    // null text gets the ''-convention stats (n_words=1, no repetition)
+    // and a NON-NULL keep flag — a null flag would vanish at .filter(keep)
+    val weird = Seq((1L, null.asInstanceOf[String]), (2L, "")).toDF("doc_id", "text")
+    val flags = Filtering.gopherRepetitionFilter(weird)
+      .select($"doc_id", $"n_words", $"keep").as[(Long, Int, Boolean)].collect()
+    assert(flags.toSet == Set((1L, 1, true), (2L, 1, true)))
+  }
+
   test("hashSample: deterministic, monotone in rate, exact at the extremes, near-rate") {
     val ids = spark.range(0, 20000).toDF("doc_id")
     def kept(n: Int): Set[Long] =

@@ -107,5 +107,12 @@ class MixingSpec extends SparkTestBase {
     }
     // reading shards in order and rows by ord visits every copy once
     assert(a.map(r => (r._3, r._4)).distinct.length == a.length)
+    // a null key must fail loudly — it would otherwise get a NULL
+    // order_key/shard and drop out of the total order silently
+    val withNull = Seq(Some(1L), None).toDF("doc_id")
+    val ex = intercept[Exception](
+      Mixing.trainingOrder(withNull, col("doc_id")).collect())
+    assert(ex.getMessage.contains("non-null unique key") ||
+      Option(ex.getCause).exists(_.getMessage.contains("non-null unique key")))
   }
 }
