@@ -208,12 +208,16 @@ object Filtering {
                      idCol: Column, budget: Long,
                      maxScoreCard: Int = 100000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // limit BEFORE collect: the cardinality guard must fire on
+    // maxScoreCard+1 driver rows, not after an unbounded-score-domain
+    // histogram has already been materialized on the driver
     val hist = df.groupBy(scoreCol.as("__score"))
       .agg(sum(tokenCol.cast("long")).as("__tok"))
+      .limit(maxScoreCard + 1)
       .collect()
     require(hist.length <= maxScoreCard,
-      s"selectToBudget needs a bounded score domain: ${hist.length} distinct " +
-        s"scores > $maxScoreCard — bucket the score (e.g. basis points) first")
+      s"selectToBudget needs a bounded score domain: > $maxScoreCard distinct " +
+        s"scores — bucket the score (e.g. basis points) first")
     // sort by score descending; scores are whatever ordered type the
     // caller passed — compare via Ordering on their natural encoding
     val byScore = hist.sortBy(r => r.getAs[Any](0) match {
@@ -277,12 +281,15 @@ object Filtering {
     import org.apache.spark.sql.expressions.Window
     require(budgets.nonEmpty, "selectToBudgetByDomain needs at least one budget")
     budgets.values.foreach(b => require(b >= 0, s"budget must be >= 0, got $b"))
+    // same bounded-collect pattern as selectToBudget: the guard fires on
+    // maxScoreCard+1 rows, never after an unbounded driver materialization
     val hist = df.groupBy(domainCol.as("__dom"), scoreCol.as("__score"))
       .agg(sum(tokenCol.cast("long")).as("__tok"))
+      .limit(maxScoreCard + 1)
       .collect()
     require(hist.length <= maxScoreCard,
       s"selectToBudgetByDomain needs a bounded (domain, score) domain: " +
-        s"${hist.length} distinct pairs > $maxScoreCard — bucket the score first")
+        s"> $maxScoreCard distinct pairs — bucket the score first")
     val unbudgeted = hist.map(_.getAs[String](0)).distinct.filterNot(budgets.contains)
     require(unbudgeted.isEmpty,
       s"domains present in the data but missing a budget: ${unbudgeted.mkString(", ")}")
