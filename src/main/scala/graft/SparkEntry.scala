@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.spark.{Chunking, Dedup, Embeddings, Events, Filtering, HtmlFunctions => H, Mixing, Multimodal, Packing, Pipeline, Transcripts}
+import graft.spark.{Chunking, Dedup, Embeddings, Events, Filtering, HtmlFunctions => H, Mixing, Multimodal, Packing, Pipeline, SubstringDedup, Transcripts}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1206,6 +1206,36 @@ object SparkEntry {
         Map("en" -> 3000L, "de" -> 2000L, "fr" -> 1500L,
           "es" -> 1500L, "zh" -> 1000L))
     }),
+    // exact-SUBSTRING dedup, span tier (the Lee et al. ExactSubstr
+    // shape re-expressed as gram joins + span-merge windows): merged
+    // removal spans of every all-but-winner occurrence of a duplicated
+    // word 8-gram. The natural documents table genuinely HAS duplicated
+    // 8-grams across docs (the ~30-word vocabulary; ~19% of occurrences
+    // at sf0.01), so this is a real workload, replayed exactly — the
+    // oracle recomputes grams, offsets, winners (min packed
+    // (doc_id, pos)), and the merge, all in integer arithmetic.
+    "q_substr_spans" -> ((s, dir) =>
+      SubstringDedup.duplicateSpans(guardMaxWords(docs(s, dir), "text", 100), n = 8)),
+    // ...and the corpus artifact: spans cut out of the text, cuts
+    // observable per row (n_spans / chars_removed, 0 for untouched
+    // docs). Oracle rebuilds each doc from the complement intervals via
+    // lag() + ordered string_agg.
+    "q_substr_dedup" -> ((s, dir) =>
+      SubstringDedup.exactSubstringDedup(guardMaxWords(docs(s, dir), "text", 100), n = 8)),
+    // exact-substring dedup over a PLANTED within-doc duplication
+    // regime: each doc's text doubled around a separator word, so every
+    // 8-gram of the original recurs inside its own doc — the winner is
+    // the first-half occurrence (min pos, same doc), the second copy
+    // coalesces into one long INTERIOR span (mid-doc starts, tail
+    // substr, long overlapping-run merges — the span shapes the natural
+    // corpus at this SF doesn't produce, where duplicates are whole-doc
+    // copies). Oracle replays the construction in its src CTE.
+    "q_substr_planted" -> ((s, dir) => {
+      val doubled = docs(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" MID "), col("text")).as("text"))
+      SubstringDedup.exactSubstringDedup(
+        guardMaxWords(doubled, "text", 201), n = 8)
+    }),
     // corpus-wide PARAGRAPH-level exact dedup (MassiveText-style): the
     // corpus gets deterministic paragraph structure planted — every doc
     // keeps its own text as paragraph 0, doc_id%4==0 docs append a
@@ -2321,6 +2351,140 @@ object SparkEntry {
       // reassembly; string_agg skips the NULLed-out losers exactly as
       // Spark's array_join skips nulls, and COALESCE('') matches
       // array_join's empty result for a doc that lost every paragraph
+      // full algorithm replay in integer arithmetic: grams + char
+      // offsets (window prefix sum), winner = min(doc_id*2^21 + pos)
+      // per gram, removal = duplicated non-winners, merge via
+      // running-max/segment-sum windows — the same walk as the Spark
+      // plan, keyed on the gram text (Spark keys on its md5; same
+      // partition). generate_series bound 92 == guardMaxWords(100) - 8.
+      "q_substr_spans" ->
+        """WITH w AS (SELECT doc_id, COALESCE(text, '') AS text,
+          |    string_split(COALESCE(text, ''), ' ') AS ws FROM documents),
+          |occ0 AS (SELECT doc_id, CAST(s.i AS BIGINT) AS pos,
+          |    length(ws[s.i+1]) AS wlen,
+          |    array_to_string(ws[s.i+1 : s.i+8], ' ') AS g
+          |  FROM w JOIN generate_series(0, 92) AS s(i) ON s.i <= len(ws) - 8),
+          |occ AS (SELECT doc_id, pos, g, length(g) AS glen,
+          |    COALESCE(sum(wlen + 1) OVER (PARTITION BY doc_id ORDER BY pos
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS char_start,
+          |    doc_id * 2097152 + pos AS pk
+          |  FROM occ0),
+          |bg AS (SELECT g, count(*) AS c, min(pk) AS wn FROM occ GROUP BY g),
+          |rem AS (SELECT occ.doc_id, char_start, char_start + glen AS char_end
+          |  FROM occ JOIN bg USING (g) WHERE c >= 2 AND pk <> wn),
+          |mrg0 AS (SELECT doc_id, char_start, char_end,
+          |    max(char_end) OVER (PARTITION BY doc_id ORDER BY char_start, char_end
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+          |  FROM rem),
+          |mrg1 AS (SELECT doc_id, char_start, char_end,
+          |    sum(CASE WHEN prev_end IS NULL OR char_start > prev_end THEN 1 ELSE 0 END)
+          |      OVER (PARTITION BY doc_id ORDER BY char_start, char_end
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+          |  FROM mrg0)
+          |SELECT doc_id, CAST(min(char_start) AS BIGINT) AS span_start,
+          |  CAST(max(char_end) AS BIGINT) AS span_end
+          |FROM mrg1 GROUP BY doc_id, seg""".stripMargin.replace("\n", " "),
+      // the q_substr_spans walk + complement-interval reassembly:
+      // kept piece before span k = substr(text, prev_end+1,
+      // start_k - prev_end) with prev_end = lag(span_end) default 0,
+      // tail = substr(text, last_end+1); untouched docs pass through
+      // with zero counters
+      "q_substr_dedup" ->
+        """WITH w AS (SELECT doc_id, COALESCE(text, '') AS text,
+          |    string_split(COALESCE(text, ''), ' ') AS ws FROM documents),
+          |occ0 AS (SELECT doc_id, CAST(s.i AS BIGINT) AS pos,
+          |    length(ws[s.i+1]) AS wlen,
+          |    array_to_string(ws[s.i+1 : s.i+8], ' ') AS g
+          |  FROM w JOIN generate_series(0, 92) AS s(i) ON s.i <= len(ws) - 8),
+          |occ AS (SELECT doc_id, pos, g, length(g) AS glen,
+          |    COALESCE(sum(wlen + 1) OVER (PARTITION BY doc_id ORDER BY pos
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS char_start,
+          |    doc_id * 2097152 + pos AS pk
+          |  FROM occ0),
+          |bg AS (SELECT g, count(*) AS c, min(pk) AS wn FROM occ GROUP BY g),
+          |rem AS (SELECT occ.doc_id, char_start, char_start + glen AS char_end
+          |  FROM occ JOIN bg USING (g) WHERE c >= 2 AND pk <> wn),
+          |mrg0 AS (SELECT doc_id, char_start, char_end,
+          |    max(char_end) OVER (PARTITION BY doc_id ORDER BY char_start, char_end
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+          |  FROM rem),
+          |mrg1 AS (SELECT doc_id, char_start, char_end,
+          |    sum(CASE WHEN prev_end IS NULL OR char_start > prev_end THEN 1 ELSE 0 END)
+          |      OVER (PARTITION BY doc_id ORDER BY char_start, char_end
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+          |  FROM mrg0),
+          |spans AS (SELECT doc_id, min(char_start) AS span_start,
+          |    max(char_end) AS span_end
+          |  FROM mrg1 GROUP BY doc_id, seg),
+          |cut0 AS (SELECT doc_id, span_start, span_end,
+          |    COALESCE(lag(span_end) OVER (PARTITION BY doc_id ORDER BY span_start), 0)
+          |      AS prev_end
+          |  FROM spans),
+          |cut AS (SELECT c.doc_id,
+          |    string_agg(substr(w.text, CAST(c.prev_end + 1 AS BIGINT),
+          |      CAST(c.span_start - c.prev_end AS BIGINT)), '' ORDER BY c.span_start)
+          |      AS kept_head,
+          |    max(c.span_end) AS last_end,
+          |    count(*) AS n_spans,
+          |    sum(c.span_end - c.span_start) AS chars_removed
+          |  FROM cut0 c JOIN w ON w.doc_id = c.doc_id
+          |  GROUP BY c.doc_id)
+          |SELECT w.doc_id,
+          |  CASE WHEN cut.doc_id IS NULL THEN w.text
+          |    ELSE COALESCE(cut.kept_head, '') || substr(w.text, CAST(cut.last_end + 1 AS BIGINT))
+          |    END AS text,
+          |  CAST(COALESCE(cut.n_spans, 0) AS BIGINT) AS n_spans,
+          |  CAST(COALESCE(cut.chars_removed, 0) AS BIGINT) AS chars_removed
+          |FROM w LEFT JOIN cut ON cut.doc_id = w.doc_id""".stripMargin.replace("\n", " "),
+      "q_substr_planted" ->
+        """WITH w AS (SELECT doc_id,
+          |    COALESCE(text, '') || ' MID ' || COALESCE(text, '') AS text,
+          |    string_split(COALESCE(text, '') || ' MID ' || COALESCE(text, ''), ' ') AS ws
+          |  FROM documents),
+          |occ0 AS (SELECT doc_id, CAST(s.i AS BIGINT) AS pos,
+          |    length(ws[s.i+1]) AS wlen,
+          |    array_to_string(ws[s.i+1 : s.i+8], ' ') AS g
+          |  FROM w JOIN generate_series(0, 193) AS s(i) ON s.i <= len(ws) - 8),
+          |occ AS (SELECT doc_id, pos, g, length(g) AS glen,
+          |    COALESCE(sum(wlen + 1) OVER (PARTITION BY doc_id ORDER BY pos
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS char_start,
+          |    doc_id * 2097152 + pos AS pk
+          |  FROM occ0),
+          |bg AS (SELECT g, count(*) AS c, min(pk) AS wn FROM occ GROUP BY g),
+          |rem AS (SELECT occ.doc_id, char_start, char_start + glen AS char_end
+          |  FROM occ JOIN bg USING (g) WHERE c >= 2 AND pk <> wn),
+          |mrg0 AS (SELECT doc_id, char_start, char_end,
+          |    max(char_end) OVER (PARTITION BY doc_id ORDER BY char_start, char_end
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+          |  FROM rem),
+          |mrg1 AS (SELECT doc_id, char_start, char_end,
+          |    sum(CASE WHEN prev_end IS NULL OR char_start > prev_end THEN 1 ELSE 0 END)
+          |      OVER (PARTITION BY doc_id ORDER BY char_start, char_end
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+          |  FROM mrg0),
+          |spans AS (SELECT doc_id, min(char_start) AS span_start,
+          |    max(char_end) AS span_end
+          |  FROM mrg1 GROUP BY doc_id, seg),
+          |cut0 AS (SELECT doc_id, span_start, span_end,
+          |    COALESCE(lag(span_end) OVER (PARTITION BY doc_id ORDER BY span_start), 0)
+          |      AS prev_end
+          |  FROM spans),
+          |cut AS (SELECT c.doc_id,
+          |    string_agg(substr(w.text, CAST(c.prev_end + 1 AS BIGINT),
+          |      CAST(c.span_start - c.prev_end AS BIGINT)), '' ORDER BY c.span_start)
+          |      AS kept_head,
+          |    max(c.span_end) AS last_end,
+          |    count(*) AS n_spans,
+          |    sum(c.span_end - c.span_start) AS chars_removed
+          |  FROM cut0 c JOIN w ON w.doc_id = c.doc_id
+          |  GROUP BY c.doc_id)
+          |SELECT w.doc_id,
+          |  CASE WHEN cut.doc_id IS NULL THEN w.text
+          |    ELSE COALESCE(cut.kept_head, '') || substr(w.text, CAST(cut.last_end + 1 AS BIGINT))
+          |    END AS text,
+          |  CAST(COALESCE(cut.n_spans, 0) AS BIGINT) AS n_spans,
+          |  CAST(COALESCE(cut.chars_removed, 0) AS BIGINT) AS chars_removed
+          |FROM w LEFT JOIN cut ON cut.doc_id = w.doc_id""".stripMargin.replace("\n", " "),
       "q_paragraph_dedup" ->
         """WITH src AS (SELECT doc_id, text
           |  || CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'boiler ' || CAST(doc_id % 3 AS VARCHAR) ELSE '' END
