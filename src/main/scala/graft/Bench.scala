@@ -119,10 +119,11 @@ object Bench {
     * the deterministic training-order materialization, the fully-ordered
     * packed-shard artifact, cross-document packing provenance, training
     * loss-mask spans, packed sample-boundary spans, and the loss mask
-    * carried end-to-end into packed coordinates, and exact-substring
-    * span dedup — per-query numbers stay comparable across rounds; the
-    * `total` line covers 34 queries from round 5 on (23 in round 4,
-    * 18 in round 3, 16 before).
+    * carried end-to-end into packed coordinates, exact-substring span
+    * dedup, and integer-quantized LM surprisal scoring — per-query
+    * numbers stay comparable across rounds; the `total` line covers 35
+    * queries from round 5 on (23 in round 4, 18 in round 3, 16
+    * before).
     */
   val headline: Seq[String] = Seq(
     "q_pipeline_extract", "q_pipeline_onepass", "q_pipeline_extractfirst",
@@ -135,7 +136,7 @@ object Bench {
     "q_dedup_corpus", "q_contamination_partial", "q_curation_pipeline",
     "q_paragraph_dedup", "q_training_order", "q_ordered_shards",
     "q_packed_provenance", "q_loss_mask", "q_packed_spans",
-    "q_masked_pipeline", "q_substr_dedup")
+    "q_masked_pipeline", "q_substr_dedup", "q_lm_score")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.spark.{Chunking, Dedup, Embeddings, Events, Filtering, HtmlFunctions => H, Mixing, Multimodal, Packing, Pipeline, SubstringDedup, Transcripts}
+import graft.spark.{Chunking, Dedup, Embeddings, Events, Filtering, HtmlFunctions => H, LmScore, Mixing, Multimodal, Packing, Pipeline, SubstringDedup, Transcripts}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1206,6 +1206,44 @@ object SparkEntry {
         Map("en" -> 3000L, "de" -> 2000L, "fr" -> 1500L,
           "es" -> 1500L, "zh" -> 1000L))
     }),
+    // LM quality scoring (the CCNet/RedPajama perplexity-filter step,
+    // integer-quantized so it replays exactly): bigram model trained on
+    // the lang='en' slice (minCount=2 pruning — the broadcastable-model
+    // contract), every doc scored by summed floor-log2 surprisal
+    // buckets, OOV bigrams cost 30 bits, keep = mean-surprisal filter
+    // in integer cross-multiplication. The synthetic corpus shares one
+    // vocabulary across langs, so the cross-lingual separation is mild
+    // but present and correctly ordered (measured at sf0.01: en 4.73
+    // mean bits/bigram, fr 4.84, de 4.85, es 4.88, zh 4.89); the
+    // REJECTION path is driver-checked by q_lm_junk's planted
+    // construction instead. The oracle replays model training AND
+    // scoring; floor(log2(BIGINT)) is exact in both engines (bit
+    // length - 1; boundaries unreachable for counts < 2^40).
+    "q_lm_score" -> ((s, dir) => {
+      val d = guardMaxWords(docs(s, dir), "text", 100)
+      val model = LmScore.trainBigramModel(d.filter(col("lang") === "en"), minCount = 2)
+      LmScore.scoreAgainstModel(d, model)
+    }),
+    // the LM filter's REJECTION path, planted: junk docs built from
+    // per-doc-unique md5 words (offset ids) are unioned with the
+    // corpus — every junk bigram is OOV by construction (md5 hex words
+    // never appear in the en training slice), so each costs exactly 30
+    // bits and junk keep is FALSE deterministically (3000 centibits >
+    // the 800 threshold), while the natural docs score identically to
+    // q_lm_score. LmScoreSpec asserts the prediction; the oracle
+    // replays the whole construction.
+    "q_lm_junk" -> ((s, dir) => {
+      val d = guardMaxWords(docs(s, dir), "text", 100)
+        .select(col("doc_id"), col("text"))
+      val junkWords = (1 to 6).map(k =>
+        md5(concat(col("doc_id").cast("string"), lit("#" + k))))
+      val junk = docs(s, dir).select((col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(" ", junkWords: _*).as("text"))
+      val model = LmScore.trainBigramModel(
+        guardMaxWords(docs(s, dir), "text", 100).filter(col("lang") === "en"),
+        minCount = 2)
+      LmScore.scoreAgainstModel(d.unionByName(junk), model)
+    }),
     // exact-SUBSTRING dedup, span tier (the Lee et al. ExactSubstr
     // shape re-expressed as gram joins + span-merge windows): merged
     // removal spans of every all-but-winner occurrence of a duplicated
@@ -2351,6 +2389,65 @@ object SparkEntry {
       // reassembly; string_agg skips the NULLed-out losers exactly as
       // Spark's array_join skips nulls, and COALESCE('') matches
       // array_join's empty result for a doc that lost every paragraph
+      // model training + scoring replayed end-to-end: c12/c1 from the
+      // en slice, minCount pruning in the model CTE (c1 counted
+      // pre-pruning), quantized surprisal = floor(log2(c1)) -
+      // floor(log2(c12)), OOV = 30 bits, keep via cross-multiplication
+      "q_lm_score" ->
+        """WITH w AS (SELECT doc_id, lang,
+          |    string_split(COALESCE(text, ''), ' ') AS ws FROM documents),
+          |bg AS (SELECT doc_id, lang, ws[s.i] AS w1, ws[s.i+1] AS w2
+          |  FROM w JOIN generate_series(1, 99) AS s(i) ON s.i <= len(ws) - 1),
+          |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg WHERE lang = 'en' GROUP BY w1, w2),
+          |c1 AS (SELECT w1, count(*) AS c1 FROM bg WHERE lang = 'en' GROUP BY w1),
+          |model AS (SELECT c12.w1, c12.w2,
+          |    CAST(floor(log2(c1.c1)) - floor(log2(c12.c12)) AS BIGINT) AS bits
+          |  FROM c12 JOIN c1 ON c1.w1 = c12.w1 WHERE c12.c12 >= 2),
+          |sc AS (SELECT bg.doc_id, count(*) AS n_bigrams,
+          |    sum(CASE WHEN model.bits IS NULL THEN 1 ELSE 0 END) AS n_oov,
+          |    sum(COALESCE(model.bits, 30)) AS surprisal_bits
+          |  FROM bg LEFT JOIN model ON model.w1 = bg.w1 AND model.w2 = bg.w2
+          |  GROUP BY bg.doc_id)
+          |SELECT w.doc_id,
+          |  CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+          |  CAST(COALESCE(sc.n_oov, 0) AS BIGINT) AS n_oov,
+          |  CAST(COALESCE(sc.surprisal_bits, 0) AS BIGINT) AS surprisal_bits,
+          |  COALESCE(sc.surprisal_bits, 0) * 100 <= 800 * COALESCE(sc.n_bigrams, 0) AS keep
+          |FROM w LEFT JOIN sc ON sc.doc_id = w.doc_id""".stripMargin.replace("\n", " "),
+      "q_lm_junk" ->
+        """WITH src AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 1000000,
+          |    md5(CAST(doc_id AS VARCHAR) || '#1') || ' ' ||
+          |    md5(CAST(doc_id AS VARCHAR) || '#2') || ' ' ||
+          |    md5(CAST(doc_id AS VARCHAR) || '#3') || ' ' ||
+          |    md5(CAST(doc_id AS VARCHAR) || '#4') || ' ' ||
+          |    md5(CAST(doc_id AS VARCHAR) || '#5') || ' ' ||
+          |    md5(CAST(doc_id AS VARCHAR) || '#6')
+          |  FROM documents),
+          |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM src),
+          |ref AS (SELECT string_split(COALESCE(text, ''), ' ') AS ws
+          |  FROM documents WHERE lang = 'en'),
+          |rbg AS (SELECT ws[s.i] AS w1, ws[s.i+1] AS w2
+          |  FROM ref JOIN generate_series(1, 99) AS s(i) ON s.i <= len(ws) - 1),
+          |c12 AS (SELECT w1, w2, count(*) AS c12 FROM rbg GROUP BY w1, w2),
+          |c1 AS (SELECT w1, count(*) AS c1 FROM rbg GROUP BY w1),
+          |model AS (SELECT c12.w1, c12.w2,
+          |    CAST(floor(log2(c1.c1)) - floor(log2(c12.c12)) AS BIGINT) AS bits
+          |  FROM c12 JOIN c1 ON c1.w1 = c12.w1 WHERE c12.c12 >= 2),
+          |bg AS (SELECT doc_id, ws[s.i] AS w1, ws[s.i+1] AS w2
+          |  FROM w JOIN generate_series(1, 99) AS s(i) ON s.i <= len(ws) - 1),
+          |sc AS (SELECT bg.doc_id, count(*) AS n_bigrams,
+          |    sum(CASE WHEN model.bits IS NULL THEN 1 ELSE 0 END) AS n_oov,
+          |    sum(COALESCE(model.bits, 30)) AS surprisal_bits
+          |  FROM bg LEFT JOIN model ON model.w1 = bg.w1 AND model.w2 = bg.w2
+          |  GROUP BY bg.doc_id)
+          |SELECT src.doc_id,
+          |  CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+          |  CAST(COALESCE(sc.n_oov, 0) AS BIGINT) AS n_oov,
+          |  CAST(COALESCE(sc.surprisal_bits, 0) AS BIGINT) AS surprisal_bits,
+          |  COALESCE(sc.surprisal_bits, 0) * 100 <= 800 * COALESCE(sc.n_bigrams, 0) AS keep
+          |FROM src LEFT JOIN sc ON sc.doc_id = src.doc_id""".stripMargin.replace("\n", " "),
       // full algorithm replay in integer arithmetic: grams + char
       // offsets (window prefix sum), winner = min(doc_id*2^21 + pos)
       // per gram, removal = duplicated non-winners, merge via
