@@ -120,10 +120,10 @@ object Bench {
     * packed-shard artifact, cross-document packing provenance, training
     * loss-mask spans, packed sample-boundary spans, and the loss mask
     * carried end-to-end into packed coordinates, exact-substring span
-    * dedup, and integer-quantized LM surprisal scoring — per-query
-    * numbers stay comparable across rounds; the `total` line covers 35
-    * queries from round 5 on (23 in round 4, 18 in round 3, 16
-    * before).
+    * dedup, integer-quantized LM surprisal scoring, and the v2
+    * curation composition (all eight stages) — per-query numbers stay
+    * comparable across rounds; the `total` line covers 36 queries from
+    * round 5 on (23 in round 4, 18 in round 3, 16 before).
     */
   val headline: Seq[String] = Seq(
     "q_pipeline_extract", "q_pipeline_onepass", "q_pipeline_extractfirst",
@@ -136,7 +136,8 @@ object Bench {
     "q_dedup_corpus", "q_contamination_partial", "q_curation_pipeline",
     "q_paragraph_dedup", "q_training_order", "q_ordered_shards",
     "q_packed_provenance", "q_loss_mask", "q_packed_spans",
-    "q_masked_pipeline", "q_substr_dedup", "q_lm_score")
+    "q_masked_pipeline", "q_substr_dedup", "q_lm_score",
+    "q_curation_pipeline_v2")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

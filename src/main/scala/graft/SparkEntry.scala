@@ -1143,6 +1143,71 @@ object SparkEntry {
           Seq("train" -> 58982, "val" -> 3277, "test" -> 3277), salt = "split")
         .select(col("doc_id"), col("score"), col("tok"), col("split"))
     }),
+    // THE FULL MODERN CURATION CHAIN (v2 — FineWeb-shaped): the v1
+    // composition with the round-5 quality tiers spliced in where a
+    // production pipeline runs them — redact -> Gopher repetition
+    // filter -> LM surprisal filter (model trained on the
+    // gopher-surviving en slice: the clean in-domain reference) ->
+    // exact dedup (min-id survivor) -> exact-SUBSTRING span dedup (the
+    // corpus-wide cut, so downstream token counts see the deduped
+    // text) -> deterministic 70% sample -> token-budget selection over
+    // the CUT text -> train/val/test split. ONE exact oracle replays
+    // all eight stages. The cut corpus is materialized before budget
+    // selection (same stage-checkpoint rationale as v1: selectToBudget
+    // traverses its input three times, and re-running the whole filter
+    // + dedup chain 3x is what a production checkpoint avoids).
+    // The natural corpus's duplicated 8-grams all live in byte-identical
+    // whole-doc copies, which the EXACT tier removes first — the
+    // substring stage would be vacuous. So the corpus gets a planted
+    // cross-doc boilerplate SUFFIX (10 distinct words on doc_id%7==0
+    // docs, the q_paragraph_dedup plant pattern): exact dedup cannot
+    // touch it (base texts differ), and the substring tier must cut it
+    // from every carrier but the winner — n_spans lands in the output,
+    // so the driver check proves the stage did real work.
+    "q_curation_pipeline_v2" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"), col("lang"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" shared boiler plate sentence appended to exercise span level dedup")))
+          .otherwise(col("text")).as("text"))
+      val red = Filtering.redactPii(planted)
+        .select(col("doc_id"), col("lang"), col("text"))
+      // pin the gopher-survivor stage ONCE: it has four declarative
+      // consumers (model training, scoring explode, scoring re-attach,
+      // text re-join), and each would replay redact+gopher — the
+      // q_dedup_corpus multi-consumer lesson (measured here: 10.37 ->
+      // 5.89 s at sf0.1 for the two pins together, clean windows)
+      val gkept = Filtering.gopherRepetitionFilter(guardMaxWords(red, "text", 110))
+        .filter(col("keep")).select(col("doc_id"), col("lang"), col("text"))
+        .localCheckpoint(true)
+      val model = LmScore.trainBigramModel(
+        gkept.filter(col("lang") === "en"), minCount = 2)
+      val lmkept = LmScore.scoreAgainstModel(gkept, model)
+        .filter(col("keep")).select(col("doc_id"))
+        .join(gkept.select(col("doc_id"), col("text")), Seq("doc_id"))
+      // same again for the exact-dedup survivors: the substring tier
+      // consumes them three times (two gram explodes + the cut join)
+      val deduped = lmkept.groupBy(md5(col("text")).as("h"))
+        .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id")).as("w"))
+        .select(col("w.doc_id").as("doc_id"), col("w.text").as("text"))
+        .localCheckpoint(true)
+      val cut = SubstringDedup.exactSubstringDedup(deduped, n = 8)
+        .select(col("doc_id"), col("text"), col("n_spans"))
+      val work = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("/tmp"), "graft-curation2").toString
+      cut.write.mode("overwrite").parquet(s"$work/cut")
+      deleteOnExitTree(work)
+      val cutM = s.read.parquet(s"$work/cut")
+      val sampled = Filtering.hashSample(cutM, col("doc_id"), 45875, salt = "graft")
+      val scored = sampled.select(col("doc_id"), col("n_spans"),
+        (octet_length(col("text")) % 997).cast("int").as("score"),
+        (lit(1) + octet_length(col("text"))
+          - octet_length(translate(col("text"), " ", ""))).cast("int").as("tok"))
+      val selected = Filtering.selectToBudget(scored, col("score"), col("tok"),
+        col("doc_id"), 6000L)
+      Filtering.assignSplit(selected, col("doc_id"),
+          Seq("train" -> 58982, "val" -> 3277, "test" -> 3277), salt = "split")
+        .select(col("doc_id"), col("score"), col("tok"), col("n_spans"), col("split"))
+    }),
     // decontamination as a corpus TRANSFORM (flag -> drop). The drop set
     // must be SQL-predictable on the DOC side, and the driver corpus's
     // tiny vocabulary makes natural full-containment real (measured: 6
@@ -2343,6 +2408,107 @@ object SparkEntry {
           |  sum(tok) OVER (ORDER BY score DESC, doc_id ASC ROWS UNBOUNDED PRECEDING) AS cum
           |  FROM scored)
           |SELECT doc_id, score, tok, CASE
+          |  WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'train'
+          |  WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'f333' THEN 'val'
+          |  ELSE 'test' END AS split
+          |FROM r WHERE cum <= 6000""".stripMargin.replace("\n", " "),
+      // the v1 oracle with the LM-filter CTEs (model over the
+      // gopher-surviving en slice) and the substring-cut CTEs (the
+      // q_substr_dedup walk over the exact-deduped survivors) spliced
+      // in; token counts downstream read the CUT text
+      "q_curation_pipeline_v2" ->
+        """WITH src AS (SELECT doc_id, lang, CASE WHEN doc_id % 7 = 0
+          |  THEN text || ' shared boiler plate sentence appended to exercise span level dedup'
+          |  ELSE text END AS text FROM documents),
+          |red AS (SELECT doc_id, lang,
+          |  regexp_replace(regexp_replace(regexp_replace(text,
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+          |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '[IP]', 'g'),
+          |    '[0-9]{4,}', '[NUM]', 'g') AS text FROM src),
+          |w AS (SELECT doc_id, lang, strlen(text) AS nb, string_split(text, ' ') AS ws, text FROM red),
+          |n AS (SELECT i FROM generate_series(1, 4096) AS s(i)),
+          |g2 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g FROM w JOIN n ON n.i <= len(ws) - 1),
+          |g3 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g FROM w JOIN n ON n.i <= len(ws) - 2),
+          |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+          |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+          |t2 AS (SELECT doc_id, CASE WHEN c >= 2 THEN c * strlen(g) ELSE 0 END AS topc,
+          |  row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn FROM c2),
+          |d3 AS (SELECT doc_id, COALESCE(SUM(CASE WHEN c >= 2 THEN c * strlen(g) END), 0) AS dupc
+          |  FROM c3 GROUP BY 1),
+          |gkept AS (SELECT w.doc_id, w.lang, w.text, w.ws FROM w
+          |  LEFT JOIN t2 ON t2.doc_id = w.doc_id AND t2.rn = 1
+          |  LEFT JOIN d3 ON d3.doc_id = w.doc_id
+          |  WHERE COALESCE(t2.topc, 0) * 10000 <= 2000 * w.nb
+          |    AND COALESCE(d3.dupc, 0) * 10000 <= 2000 * w.nb),
+          |rbg AS (SELECT ws[n.i] AS w1, ws[n.i+1] AS w2 FROM gkept JOIN n
+          |  ON n.i <= len(ws) - 1 WHERE lang = 'en'),
+          |mc12 AS (SELECT w1, w2, count(*) AS c12 FROM rbg GROUP BY w1, w2),
+          |mc1 AS (SELECT w1, count(*) AS c1 FROM rbg GROUP BY w1),
+          |model AS (SELECT mc12.w1, mc12.w2,
+          |    CAST(floor(log2(mc1.c1)) - floor(log2(mc12.c12)) AS BIGINT) AS bits
+          |  FROM mc12 JOIN mc1 ON mc1.w1 = mc12.w1 WHERE mc12.c12 >= 2),
+          |dbg AS (SELECT doc_id, ws[n.i] AS w1, ws[n.i+1] AS w2 FROM gkept JOIN n
+          |  ON n.i <= len(ws) - 1),
+          |lmsc AS (SELECT dbg.doc_id, count(*) AS n_bigrams,
+          |    sum(COALESCE(model.bits, 30)) AS sbits
+          |  FROM dbg LEFT JOIN model ON model.w1 = dbg.w1 AND model.w2 = dbg.w2
+          |  GROUP BY dbg.doc_id),
+          |lmkept AS (SELECT g.doc_id, g.text FROM gkept g
+          |  LEFT JOIN lmsc ON lmsc.doc_id = g.doc_id
+          |  WHERE COALESCE(lmsc.sbits, 0) * 100 <= 800 * COALESCE(lmsc.n_bigrams, 0)),
+          |ded AS (SELECT min(doc_id) AS doc_id, text FROM lmkept GROUP BY text),
+          |dw AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM ded),
+          |socc0 AS (SELECT doc_id, CAST(s.i AS BIGINT) AS pos,
+          |    length(ws[s.i+1]) AS wlen,
+          |    array_to_string(ws[s.i+1 : s.i+8], ' ') AS g
+          |  FROM dw JOIN generate_series(0, 102) AS s(i) ON s.i <= len(ws) - 8),
+          |socc AS (SELECT doc_id, pos, g, length(g) AS glen,
+          |    COALESCE(sum(wlen + 1) OVER (PARTITION BY doc_id ORDER BY pos
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS char_start,
+          |    doc_id * 2097152 + pos AS pk
+          |  FROM socc0),
+          |sbg AS (SELECT g, count(*) AS c, min(pk) AS wn FROM socc GROUP BY g),
+          |srem AS (SELECT socc.doc_id, char_start, char_start + glen AS char_end
+          |  FROM socc JOIN sbg USING (g) WHERE c >= 2 AND pk <> wn),
+          |smrg0 AS (SELECT doc_id, char_start, char_end,
+          |    max(char_end) OVER (PARTITION BY doc_id ORDER BY char_start, char_end
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+          |  FROM srem),
+          |smrg1 AS (SELECT doc_id, char_start, char_end,
+          |    sum(CASE WHEN prev_end IS NULL OR char_start > prev_end THEN 1 ELSE 0 END)
+          |      OVER (PARTITION BY doc_id ORDER BY char_start, char_end
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+          |  FROM smrg0),
+          |sspans AS (SELECT doc_id, min(char_start) AS span_start,
+          |    max(char_end) AS span_end
+          |  FROM smrg1 GROUP BY doc_id, seg),
+          |scut0 AS (SELECT doc_id, span_start, span_end,
+          |    COALESCE(lag(span_end) OVER (PARTITION BY doc_id ORDER BY span_start), 0)
+          |      AS prev_end
+          |  FROM sspans),
+          |scut AS (SELECT c.doc_id,
+          |    string_agg(substr(dw.text, CAST(c.prev_end + 1 AS BIGINT),
+          |      CAST(c.span_start - c.prev_end AS BIGINT)), '' ORDER BY c.span_start)
+          |      AS kept_head,
+          |    max(c.span_end) AS last_end,
+          |    count(*) AS n_spans
+          |  FROM scut0 c JOIN dw ON dw.doc_id = c.doc_id
+          |  GROUP BY c.doc_id),
+          |cuttext AS (SELECT dw.doc_id,
+          |  CASE WHEN scut.doc_id IS NULL THEN dw.text
+          |    ELSE COALESCE(scut.kept_head, '') || substr(dw.text, CAST(scut.last_end + 1 AS BIGINT))
+          |    END AS text,
+          |  COALESCE(scut.n_spans, 0) AS n_spans
+          |  FROM dw LEFT JOIN scut ON scut.doc_id = dw.doc_id),
+          |samp AS (SELECT doc_id, text, n_spans FROM cuttext
+          |  WHERE substring(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'b333'),
+          |scored AS (SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+          |  CAST(strlen(text) % 997 AS INT) AS score,
+          |  CAST(1 + strlen(text) - strlen(replace(text, ' ', '')) AS INT) AS tok FROM samp),
+          |r AS (SELECT doc_id, n_spans, score, tok,
+          |  sum(tok) OVER (ORDER BY score DESC, doc_id ASC ROWS UNBOUNDED PRECEDING) AS cum
+          |  FROM scored)
+          |SELECT doc_id, score, tok, n_spans, CASE
           |  WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'train'
           |  WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'f333' THEN 'val'
           |  ELSE 'test' END AS split
