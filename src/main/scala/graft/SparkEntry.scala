@@ -1233,6 +1233,29 @@ object SparkEntry {
       Dedup.decontaminatedCorpus(corpus, planted.unionByName(clean))
         .select(col("doc_id"), col("text"))
     }),
+    // GPT-3-style exact n-gram overlap decontamination (Brown et al.
+    // 2020 App. C: drop a training doc sharing ANY 13-gram with an eval
+    // example). Unlike the winnowing tiers this criterion is exactly
+    // SQL-expressible over NATURAL text — no planted universe: the test
+    // set is verbatim copies of the %10 docs (every >=13-word source
+    // must be flagged, and any OTHER doc sharing one of their 13-grams
+    // is too — the oracle recomputes the grams, so natural cross-matches
+    // replay exactly) plus 2-word noise docs that contribute no grams
+    // (the short-test-doc path). Sources under 13 words have no grams
+    // and are correctly KEPT by both engines.
+    "q_ngram_decontaminated" -> ((s, dir) => {
+      val corpus = guardMaxWords(docs(s, dir), "text", 100)
+        .select(col("doc_id"), col("text"))
+      val tests = corpus.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + lit(5000000L)).as("test_id"), col("text"))
+        .unionByName(docs(s, dir).filter(col("doc_id") % 10 === 5)
+          .select((col("doc_id") + lit(6000000L)).as("test_id"),
+            concat_ws(" ",
+              md5(concat(lit("x"), col("doc_id"), lit(":1"))),
+              md5(concat(lit("x"), col("doc_id"), lit(":2")))).as("text")))
+      Dedup.ngramDecontaminatedCorpus(corpus, tests, n = 13)
+        .select(col("doc_id"), col("text"))
+    }),
     // sequence-level decontamination: the REAL contamination operator
     // (winnowing fingerprints, full containment) finds the contaminated
     // corpus docs, and the provenance traceback locates every PACKED
@@ -1447,6 +1470,34 @@ object SparkEntry {
       Embeddings.cosineNearDupPairs(Embeddings.withScaledSiblings(emb(s, dir)),
           threshold = 0.95, nbits = 8)
         .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))),
+    // semantic corpus dedup END TO END (the SemDeDup step): exact tier
+    // (byte-identical +3e6 copies of every %10 vec collapse to the base
+    // id) then cosine tier (x2- and x4-scaled siblings form a
+    // per-vector CLIQUE {v, 2v, 4v} — power-of-two scaling keeps the
+    // RHP bucket and cosine exactly ~1.0 — which components collapse to
+    // the min-id base). Kept set == exactly the natural universe. No
+    // natural pair reaches 0.95 (max ~0.52, the q_cosine_neardup
+    // precondition), so the group structure is SQL-predictable. The
+    // bucket cap is raised to local-scale 4096: scaled siblings triple
+    // every bucket's population, and the cap's oversize semantics are
+    // exercised by q_cosine_neardup's default; here an overflow would
+    // silently KEEP a planted duplicate. Pinned once: the dedup
+    // consults its corpus in four subtrees (exact hashes x2, cosine
+    // pairs, final anti-join) and this universe is synthesized.
+    "q_semantic_dedup" -> ((s, dir) => {
+      val base = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val scaled = (k: Float, off: Long) => base.select(
+        (col("vec_id") + lit(off)).as("vec_id"),
+        transform(col("embedding"), x => x * lit(k)).as("embedding"))
+      val planted = base
+        .unionByName(scaled(2.0f, 1000000L))
+        .unionByName(scaled(4.0f, 2000000L))
+        .unionByName(base.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + lit(3000000L)).as("vec_id"), col("embedding")))
+      Embeddings.semanticDedupCorpus(planted.localCheckpoint(),
+          threshold = 0.95, nbits = 8, maxBucketSize = 4096)
+        .select(col("vec_id").cast("long").as("vec_id"))
+    }),
     // ===== multimodal plumbing ============================================
     "q_media_features" -> ((s, dir) =>
       Multimodal.extractFeatures(Multimodal.syntheticMedia(docs(s, dir)))
@@ -1938,6 +1989,11 @@ object SparkEntry {
       "q_cosine_neardup" ->
         """SELECT CAST(vec_id AS BIGINT) AS a, CAST(vec_id + 1000000 AS BIGINT) AS b
           | FROM embeddings""".stripMargin.replace("\n", ""),
+      // every planted id (+1e6 x2-scaled, +2e6 x4-scaled, +3e6
+      // byte-identical) is a dropped duplicate of its base; the kept set
+      // is exactly the natural universe
+      "q_semantic_dedup" ->
+        "SELECT CAST(vec_id AS BIGINT) AS vec_id FROM embeddings",
       "q_stream_sessions_buffered" ->
         """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
           | lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
@@ -2518,6 +2574,22 @@ object SparkEntry {
           |  (SELECT string_agg(md5('' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), ' ' ORDER BY i)
           |   FROM generate_series(1, 20) AS s(i)) AS text
           |FROM documents WHERE doc_id % 10 <> 0""".stripMargin.replace("\n", " "),
+      // full 13-gram replay over natural text (no md5 transport needed
+      // oracle-side: gram equality is gram equality); the noise test
+      // docs are 2 words — no 13-grams — so the test gram set is exactly
+      // the %10 docs' grams
+      "q_ngram_decontaminated" ->
+        """WITH w AS (SELECT doc_id, COALESCE(text, '') AS text,
+          |    string_split(COALESCE(text, ''), ' ') AS ws FROM documents),
+          |tg AS (SELECT DISTINCT array_to_string(ws[s.i+1 : s.i+13], ' ') AS g
+          |  FROM w JOIN generate_series(0, 87) AS s(i) ON s.i <= len(ws) - 13
+          |  WHERE doc_id % 10 = 0),
+          |flagged AS (SELECT DISTINCT w.doc_id
+          |  FROM w JOIN generate_series(0, 87) AS s(i) ON s.i <= len(ws) - 13
+          |  JOIN tg ON array_to_string(ws[s.i+1 : s.i+13], ' ') = tg.g)
+          |SELECT d.doc_id, d.text FROM documents d
+          |  LEFT JOIN flagged f ON d.doc_id = f.doc_id
+          |  WHERE f.doc_id IS NULL""".stripMargin.replace("\n", " "),
       // planted 20-word universe => every doc chunks to (16, 8); the
       // contaminated set collapses to doc_id % 10 = 0 by construction
       "q_contaminated_sequences" ->

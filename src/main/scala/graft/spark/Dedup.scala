@@ -832,6 +832,62 @@ object Dedup {
     corpus.join(flagged.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
   }
 
+  /** Exact word-n-gram overlap contamination — the GPT-3/Llama-style
+    * decontamination criterion (Brown et al. 2020 Appendix C: flag a
+    * training doc if it shares ANY 13-gram with an eval example),
+    * complementing the winnowing tiers: [[contamination]] needs (a
+    * sampled cover of) the WHOLE test doc present, [[contaminationPartial]]
+    * a fingerprint RATIO; this flags on a single verbatim n-gram — the
+    * strictest published criterion, and exactly replayable (no sampling:
+    * every gram is hashed, so the check is deterministic, which is also
+    * why it is the most join-volume-hungry of the three and hides behind
+    * the smaller default n only at the caller's choice).
+    *
+    * Returns (doc_id, n_shared_grams) for flagged corpus docs —
+    * n_shared_grams counts the doc's gram POSITIONS whose gram occurs
+    * anywhere in the test set (the audit number: how much of the doc is
+    * compromised), not distinct grams.
+    *
+    * Scale shape: gram text never crosses an exchange — both sides
+    * project to md5 hashes scan-side (the SubstringDedup pattern). The
+    * test-set gram set is DISTINCT and broadcast (a release is small by
+    * definition — the [[contamination]] contract), so the corpus side is
+    * scan → broadcast LEFT SEMI join → one partial-aggregating hash agg
+    * on doc_id: zero shuffles of corpus data beyond (doc_id, count)
+    * partials. No hot-gram cap is needed: the semi join emits at most
+    * one row per corpus gram position regardless of test-side frequency.
+    */
+  def ngramContamination(corpus: DataFrame, testSet: DataFrame,
+                         n: Int = 13): DataFrame = {
+    require(n >= 2, s"gram size must be >= 2, got $n")
+    val grams = (df: DataFrame, idCol: String) => {
+      val ws = col("ws")
+      val starts = when(size(ws) >= n, sequence(lit(1), size(ws) - (n - 1)))
+        .otherwise(array().cast("array<int>"))
+      df.select(col(idCol), split(coalesce(col("text"), lit("")), " ").as("ws"))
+        .select(col(idCol),
+          explode(transform(starts,
+            i => md5(array_join(slice(ws, i, lit(n)), " ")))).as("h"))
+    }
+    val testGrams = broadcast(grams(testSet, "test_id").select(col("h")).distinct())
+    grams(corpus, "doc_id")
+      .join(testGrams, Seq("h"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
+  /** [[ngramContamination]] as a corpus transform: drop every corpus doc
+    * sharing at least one word n-gram with the test set (the GPT-3
+    * decontamination applied at doc granularity; span-level surgery on
+    * flagged docs is [[SubstringDedup]]'s job). Same shape as
+    * [[decontaminatedCorpus]]: full-width rows move only in the final
+    * left_anti join on doc_id.
+    */
+  def ngramDecontaminatedCorpus(corpus: DataFrame, testSet: DataFrame,
+                                n: Int = 13): DataFrame =
+    corpus.join(ngramContamination(corpus, testSet, n).select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+
   /** Corpus-wide PARAGRAPH-level exact dedup (the MassiveText /
     * RefinedWeb "remove duplicated paragraphs across documents" stage —
     * doc-level dedup misses boilerplate that repeats INSIDE otherwise

@@ -319,4 +319,49 @@ object Embeddings {
         cosineUdf(col("l.embedding"), col("r.embedding")).as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  /** Semantic (embedding-space) corpus dedup, END TO END — the SemDeDup
+    * step (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): partition the embedding
+    * space, prune within-partition pairs above a cosine threshold, keep
+    * one representative per semantic duplicate group. The embedding
+    * analog of [[Dedup.dedupedCorpus]], with the same two-tier design:
+    *  - exact tier: byte-identical embeddings collapse to the min
+    *    vec_id (a mass-duplicated document cluster has byte-identical
+    *    embeddings; collapsing it first keeps the near tier's buckets
+    *    small — cf. canonicalVecs);
+    *  - near tier: [[cosineNearDupPairs]] (capped RHP buckets stand in
+    *    for SemDeDup's k-means cells — both are locality partitions;
+    *    the multi-probe variant would union pairs from
+    *    [[ivfAssignments]]' cells) -> connected components with
+    *    OBSERVED convergence -> survivor = min vec_id per component.
+    *    SemDeDup's keep-farthest-from-centroid policy is one
+    *    `min_by(vec_id, -dist)` away; min-id is used here because it is
+    *    engine-replayable, the repo's oracle contract.
+    *
+    * Returns the kept rows with their original columns. Scale shape:
+    * only (vec_id, bucket) pairs and component labels cross exchanges
+    * after canonicalization; the single full-width movement is the final
+    * left_anti join, whose loser side holds only the duplicates.
+    */
+  def semanticDedupCorpus(emb: DataFrame, threshold: Double = 0.95,
+                          nbits: Int = 8, iters: Int = 8,
+                          maxBucketSize: Int = Dedup.DefaultMaxBucketSize): DataFrame = {
+    val ids = emb.select(col("vec_id"), col("embedding"))
+    val keep = ids.groupBy(col("embedding")).agg(min(col("vec_id")).as("keep_id"))
+    val exactLosers = ids.join(keep, Seq("embedding"))
+      .filter(col("vec_id") =!= col("keep_id"))
+      .select(col("vec_id"))
+    // the near tier sees only canonical winners (cosineNearDupPairs
+    // canonicalizes internally), so an exact loser can never appear in a
+    // pair — the two tiers partition the losers, as in dedupedCorpus
+    val nearLosers = Dedup.connectedComponentsConverged(
+        cosineNearDupPairs(emb, threshold, nbits, maxBucketSize)
+          .select(col("a"), col("b")),
+        blockIters = 2, maxIters = iters)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as("vec_id"))
+    emb.join(exactLosers.unionByName(nearLosers).distinct(),
+      Seq("vec_id"), "left_anti")
+  }
 }

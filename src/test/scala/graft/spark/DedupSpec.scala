@@ -568,6 +568,56 @@ class DedupSpec extends SparkTestBase {
     spark.sql("DROP TABLE IF EXISTS contam_idx_partial_spec")
   }
 
+  test("ngram decontamination: any shared 13-gram flags the doc; short and disjoint docs survive") {
+    // unique-word universe (the decontaminatedCorpus pattern): 20
+    // doc_id-salted md5 words per doc, so cross-doc gram sharing is
+    // impossible by construction and every verdict is predictable
+    val corpus = spark.range(0, 60).toDF("doc_id")
+      .select(col("doc_id"), array_join(
+        transform(sequence(lit(1), lit(20)),
+          j => md5(concat(col("doc_id"), lit(":"), j))), " ").as("text"))
+    val w = split(col("text"), " ")
+    // test docs: the middle 13 words of each %10 doc (ONE shared
+    // 13-gram — the minimal flagging condition), plus a 12-word prefix
+    // of each %10==5 doc (12 < n: must NOT flag), plus disjoint noise
+    val oneGram = corpus.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + lit(5000L)).as("test_id"),
+        array_join(slice(w, lit(4), lit(13)), " ").as("text"))
+    val tooShort = corpus.filter(col("doc_id") % 10 === 5)
+      .select((col("doc_id") + lit(6000L)).as("test_id"),
+        array_join(slice(w, lit(1), lit(12)), " ").as("text"))
+    val noise = corpus.select((col("doc_id") + lit(7000L)).as("test_id"),
+      md5(col("text")).as("text"))
+    val tests = oneGram.unionByName(tooShort).unionByName(noise)
+    val flagged = Dedup.ngramContamination(corpus, tests, n = 13)
+      .as[(Long, Long)].collect().toMap
+    assert(flagged.keySet == (0L until 60L by 10).toSet,
+      s"flagged ${flagged.keySet} != the %10 sources")
+    // the source holds the test doc's single 13-gram at exactly one position
+    assert(flagged.values.toSet == Set(1L), s"per-doc counts: $flagged")
+    val kept = Dedup.ngramDecontaminatedCorpus(corpus, tests, n = 13)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(kept == (0L until 60L).filterNot(_ % 10 == 0).toSet)
+  }
+
+  test("semanticDedupCorpus: byte-identical and scaled-sibling cliques collapse to the base vec") {
+    val base = emb.select(col("vec_id"), col("embedding"))
+    def scaled(k: Float, off: Long) = base.select(
+      (col("vec_id") + lit(off)).as("vec_id"),
+      transform(col("embedding"), x => x * lit(k)).as("embedding"))
+    val planted = base
+      .unionByName(scaled(2.0f, 1000000L))
+      .unionByName(scaled(4.0f, 2000000L))
+      .unionByName(base.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + lit(3000000L)).as("vec_id"), col("embedding")))
+    val kept = Embeddings.semanticDedupCorpus(planted.localCheckpoint(),
+        threshold = 0.95, nbits = 8, maxBucketSize = 4096)
+      .select(col("vec_id")).as[Long].collect().toSet
+    val expected = base.select(col("vec_id")).as[Long].collect().toSet
+    assert(kept == expected,
+      s"extra: ${(kept -- expected).take(5)}, missing: ${(expected -- kept).take(5)}")
+  }
+
   test("multimodal: features are 18-dim; frame sampling respects n_frames") {
     val media = Multimodal.syntheticMedia(docs)
     val feats = Multimodal.extractFeatures(media)
