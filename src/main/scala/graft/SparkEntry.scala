@@ -1383,6 +1383,17 @@ object SparkEntry {
       Dedup.paragraphDedup(structured)
         .select(col("doc_id"), col("text"), col("n_paras"), col("n_kept"))
     }),
+    // temperature-sampling mixture: FRACTIONAL per-domain repeats in
+    // /65536 fixed-point (en 1.5x, de 2x, fr 0.5x DOWNSAMPLE, es 2.75x,
+    // zh 1x); the fractional copy is a per-row 4-hex-digit hash compare
+    // the oracle replays verbatim
+    "q_temperature_mix" -> ((s, dir) =>
+      Mixing.temperatureMix(docs(s, dir).select(col("doc_id"), col("lang")),
+          col("lang"), col("doc_id"),
+          Map("en" -> 98304, "de" -> 131072, "fr" -> 32768,
+            "es" -> 180224, "zh" -> 65536),
+          salt = "temp")
+        .select(col("doc_id"), col("lang"), col("epoch"))),
     // per-domain epoch upsampling: repeat factors travel as a broadcast
     // rates table; epoch ∈ [1, repeats(lang)]
     "q_epoch_mix" -> ((s, dir) =>
@@ -2841,6 +2852,20 @@ object SparkEntry {
           | JOIN generate_series(1, 3) AS s(i)
           |  ON s.i <= CASE lang WHEN 'en' THEN 3 WHEN 'de' THEN 2 WHEN 'zh' THEN 2 ELSE 1 END"""
           .stripMargin.replace("\n", ""),
+      // fixed-point rates: 98304=1+0x8000, 131072=2+0x0000, 32768=0+0x8000,
+      // 180224=2+0xc000, 65536=1+0x0000; bucket < '0000' is never true
+      "q_temperature_mix" ->
+        """WITH c AS (SELECT doc_id, lang,
+          |  CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 2 WHEN 'fr' THEN 0
+          |    WHEN 'es' THEN 2 WHEN 'zh' THEN 1 END
+          |  + CASE WHEN substring(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 4) <
+          |      CASE lang WHEN 'en' THEN '8000' WHEN 'de' THEN '0000' WHEN 'fr' THEN '8000'
+          |        WHEN 'es' THEN 'c000' WHEN 'zh' THEN '0000' END
+          |    THEN 1 ELSE 0 END AS copies
+          |  FROM documents)
+          |SELECT doc_id, lang, CAST(s.i AS INT) AS epoch
+          |FROM c JOIN generate_series(1, 3) AS s(i) ON s.i <= copies"""
+          .stripMargin.replace("\n", " "),
       // the reproducible-training-order contract: shard = first hex
       // digit of md5('graft:' || doc_id || ':' || epoch), ord = rank of
       // the full md5 within the shard (ties impossible: copy keys are

@@ -57,6 +57,57 @@ object Mixing {
       .drop("__domain", "__rep")
   }
 
+  /** Per-domain FRACTIONAL mixture sampling — the temperature-sampling
+    * step of multilingual/multi-source training mixes (mT5/XLM-R style:
+    * p_domain ∝ share^(1/T) turns into a per-domain repeat factor that
+    * is rarely a whole number): each row gets `floor(r)` copies always,
+    * plus one more iff its deterministic hash bucket falls below the
+    * fractional part — so a domain with r = 1.5 emits exactly its
+    * expected 1.5× volume, decided per-ROW by the same (salt, key) hash
+    * contract as [[Filtering.hashSample]] (retries, cluster size, and
+    * partitioning cannot change the mix). r < 1 DOWNSAMPLES — rows with
+    * zero copies drop, which here is the operator's semantics (a
+    * sampler, like hashSample), not a silent loss; the volume is
+    * auditable from the output epochs.
+    *
+    * Repeat factors are FIXED-POINT in 1/65536 units (98304 = 1.5×),
+    * the hashSample rate convention: the fractional comparison is a
+    * 4-hex-digit string compare against md5's prefix, identical in
+    * Spark and ANSI SQL — no float thresholds. A domain absent from
+    * `repeatsOf65536` (null included) fails loudly (the [[epochMix]]
+    * left-join + raise_error pattern). Same broadcast-join + explode
+    * shape as epochMix: shuffle-free, scan-speed.
+    */
+  def temperatureMix(df: DataFrame, domainCol: Column, keyCol: Column,
+                     repeatsOf65536: Map[String, Int],
+                     salt: String = "s0"): DataFrame = {
+    require(repeatsOf65536.nonEmpty, "temperatureMix needs at least one domain")
+    repeatsOf65536.values.foreach(r =>
+      require(r >= 0, s"repeat factor must be >= 0/65536, got $r"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rdf = repeatsOf65536.toSeq
+      .map { case (d, r) => (d, r / 65536, f"${r % 65536}%04x") }
+      .toDF("__domain", "__whole", "__frachex")
+    // null key guard: a null would hash to a null bucket and the `<`
+    // below would silently deny the fractional copy (Filtering.hashBucket)
+    val k = when(keyCol.isNull,
+      raise_error(lit("temperatureMix key is NULL — the per-row copy " +
+        "decision needs a non-null key")).cast("string"))
+      .otherwise(keyCol.cast("string"))
+    val bucket = substring(md5(concat(lit(salt + ":"), k)), 1, 4)
+    val whole = when(col("__whole").isNull,
+      raise_error(concat(lit("temperatureMix: domain without a repeat factor: "),
+        coalesce(domainCol.cast("string"), lit("NULL")))).cast("int"))
+      .otherwise(col("__whole"))
+    val copies = whole + when(bucket < col("__frachex"), 1).otherwise(0)
+    df.join(broadcast(rdf), domainCol === col("__domain"), "left")
+      .withColumn("epoch",
+        explode(when(copies >= 1, sequence(lit(1), copies))
+          .otherwise(array().cast("array<int>"))))
+      .drop("__domain", "__whole", "__frachex")
+  }
+
   /** Deterministic global shuffle into ordered shards: order key =
     * md5(salt ':' key), shard = the key's first `shardHexDigits` hex
     * digits (16^k equal-expectation shards), `ord` = the row's position

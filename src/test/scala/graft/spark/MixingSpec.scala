@@ -115,4 +115,38 @@ class MixingSpec extends SparkTestBase {
     assert(ex.getMessage.contains("non-null unique key") ||
       Option(ex.getCause).exists(_.getMessage.contains("non-null unique key")))
   }
+
+  test("temperatureMix: fractional repeats match the per-row hash rule; unmapped domain fails loudly") {
+    val d = spark.range(0, 400).toDF("doc_id")
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, "a").otherwise("b").as("dom"))
+    // a: 1.5x (1 + frac 0x8000), b: 0.25x pure downsample (0 + 0x4000)
+    val out = Mixing.temperatureMix(d, col("dom"), col("doc_id"),
+        Map("a" -> 98304, "b" -> 16384), salt = "t")
+      .as[(Long, String, Int)].collect()
+    // per-row reference: copies = whole + (first 4 md5 hex chars < frac)
+    def bucket(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"t:$id".getBytes("UTF-8"))
+      md.take(2).map(b => f"${b & 0xff}%02x").mkString
+    }
+    val want = (0L until 400L).flatMap { id =>
+      val (whole, frac) = if (id % 2 == 0) (1, "8000") else (0, "4000")
+      val n = whole + (if (bucket(id) < frac) 1 else 0)
+      (1 to n).map(e => (id, if (id % 2 == 0) "a" else "b", e))
+    }.toSet
+    assert(out.toSet == want)
+    // expected-volume sanity: each domain's copy count is within a few
+    // sigma of rate * n (the hash is uniform on 4 hex digits)
+    val aCopies = out.count(_._2 == "a")
+    val bCopies = out.count(_._2 == "b")
+    assert(math.abs(aCopies - 300) < 60, s"a copies: $aCopies")
+    assert(math.abs(bCopies - 50) < 40, s"b copies: $bCopies")
+    // unmapped domain: loud failure, not a silent drop
+    val ex2 = intercept[Exception](
+      Mixing.temperatureMix(d, lit("zz"), col("doc_id"),
+        Map("a" -> 65536), salt = "t").collect())
+    assert(ex2.getMessage.contains("without a repeat factor") ||
+      Option(ex2.getCause).exists(_.getMessage.contains("without a repeat factor")))
+  }
 }
