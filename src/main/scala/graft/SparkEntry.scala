@@ -1362,6 +1362,21 @@ object SparkEntry {
       SubstringDedup.exactSubstringDedup(
         guardMaxWords(doubled, "text", 201), n = 8)
     }),
+    // decontamination by EXCISION: every corpus occurrence of any
+    // test-set 13-gram is cut out as an exact char span (keep the doc,
+    // remove the leak — the regime where dropping whole docs is too
+    // lossy). Test set = verbatim %10 docs, so each >=13-word source is
+    // cut to '' (its own grams tile it completely) and any doc sharing
+    // a 13-gram loses exactly that span; NATURAL text, full replay —
+    // the q_substr_dedup CTE with the winner logic swapped for the
+    // test-gram join (no keep-one: contaminated text goes everywhere).
+    "q_excised" -> ((s, dir) => {
+      val corpus = guardMaxWords(docs(s, dir), "text", 100)
+        .select(col("doc_id"), col("text"))
+      val tests = corpus.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + lit(5000000L)).as("test_id"), col("text"))
+      SubstringDedup.excisedCorpus(corpus, tests, n = 13)
+    }),
     // corpus-wide PARAGRAPH-level exact dedup (MassiveText-style): the
     // corpus gets deterministic paragraph structure planted — every doc
     // keeps its own text as paragraph 0, doc_id%4==0 docs append a
@@ -2730,6 +2745,57 @@ object SparkEntry {
           |SELECT doc_id, CAST(min(char_start) AS BIGINT) AS span_start,
           |  CAST(max(char_end) AS BIGINT) AS span_end
           |FROM mrg1 GROUP BY doc_id, seg""".stripMargin.replace("\n", " "),
+      // the q_substr_dedup walk with removal = test-gram occurrences
+      // (13-grams of the %10 docs) instead of dup losers; same merge +
+      // complement-interval reassembly
+      "q_excised" ->
+        """WITH w AS (SELECT doc_id, COALESCE(text, '') AS text,
+          |    string_split(COALESCE(text, ''), ' ') AS ws FROM documents),
+          |tg AS (SELECT DISTINCT array_to_string(ws[s.i+1 : s.i+13], ' ') AS g
+          |  FROM w JOIN generate_series(0, 87) AS s(i) ON s.i <= len(ws) - 13
+          |  WHERE doc_id % 10 = 0),
+          |occ0 AS (SELECT doc_id, CAST(s.i AS BIGINT) AS pos,
+          |    length(ws[s.i+1]) AS wlen,
+          |    array_to_string(ws[s.i+1 : s.i+13], ' ') AS g
+          |  FROM w JOIN generate_series(0, 87) AS s(i) ON s.i <= len(ws) - 13),
+          |occ AS (SELECT doc_id, pos, g, length(g) AS glen,
+          |    COALESCE(sum(wlen + 1) OVER (PARTITION BY doc_id ORDER BY pos
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS char_start
+          |  FROM occ0),
+          |rem AS (SELECT occ.doc_id, char_start, char_start + glen AS char_end
+          |  FROM occ JOIN tg USING (g)),
+          |mrg0 AS (SELECT doc_id, char_start, char_end,
+          |    max(char_end) OVER (PARTITION BY doc_id ORDER BY char_start, char_end
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+          |  FROM rem),
+          |mrg1 AS (SELECT doc_id, char_start, char_end,
+          |    sum(CASE WHEN prev_end IS NULL OR char_start > prev_end THEN 1 ELSE 0 END)
+          |      OVER (PARTITION BY doc_id ORDER BY char_start, char_end
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+          |  FROM mrg0),
+          |spans AS (SELECT doc_id, min(char_start) AS span_start,
+          |    max(char_end) AS span_end
+          |  FROM mrg1 GROUP BY doc_id, seg),
+          |cut0 AS (SELECT doc_id, span_start, span_end,
+          |    COALESCE(lag(span_end) OVER (PARTITION BY doc_id ORDER BY span_start), 0)
+          |      AS prev_end
+          |  FROM spans),
+          |cut AS (SELECT c.doc_id,
+          |    string_agg(substr(w.text, CAST(c.prev_end + 1 AS BIGINT),
+          |      CAST(c.span_start - c.prev_end AS BIGINT)), '' ORDER BY c.span_start)
+          |      AS kept_head,
+          |    max(c.span_end) AS last_end,
+          |    count(*) AS n_spans,
+          |    sum(c.span_end - c.span_start) AS chars_removed
+          |  FROM cut0 c JOIN w ON w.doc_id = c.doc_id
+          |  GROUP BY c.doc_id)
+          |SELECT w.doc_id,
+          |  CASE WHEN cut.doc_id IS NULL THEN w.text
+          |    ELSE COALESCE(cut.kept_head, '') || substr(w.text, CAST(cut.last_end + 1 AS BIGINT))
+          |    END AS text,
+          |  CAST(COALESCE(cut.n_spans, 0) AS BIGINT) AS n_spans,
+          |  CAST(COALESCE(cut.chars_removed, 0) AS BIGINT) AS chars_removed
+          |FROM w LEFT JOIN cut ON cut.doc_id = w.doc_id""".stripMargin.replace("\n", " "),
       // the q_substr_spans walk + complement-interval reassembly:
       // kept piece before span k = substr(text, prev_end+1,
       // start_k - prev_end) with prev_end = lag(span_end) default 0,

@@ -70,16 +70,16 @@ import org.apache.spark.sql.functions._
   */
 object SubstringDedup {
 
-  /** Merged removal spans (idCol, span_start, span_end), char
-    * coordinates over the original text, end exclusive: the all-but-
-    * winner occurrences of every duplicated word n-gram, coalesced per
-    * doc into maximal non-overlapping intervals. Docs with no
-    * duplicated grams (including docs shorter than n words) emit no
-    * rows. Null text folds to '' (the Chunking/Dedup convention).
+  /** Word-n-gram occurrences with exact char coordinates:
+    * (idCol, h = md5(gram), pk = packed (id, pos) BIGINT, char_start,
+    * char_end). Gram text is projected to (word len, gram len, md5) IN
+    * THE SCAN STAGE — the struct carries the gram string across only
+    * the posexplode (same-stage), never an exchange. Shared by the
+    * dedup tier ([[duplicateSpans]]) and the excision tier
+    * ([[contaminationSpans]]).
     */
-  def duplicateSpans(docs: DataFrame, n: Int = 8,
-                     idCol: String = "doc_id",
-                     textCol: String = "text"): DataFrame = {
+  private def gramOccurrences(docs: DataFrame, n: Int,
+                              idCol: String, textCol: String): DataFrame = {
     require(n >= 2, s"gram size must be >= 2, got $n")
     val ws = col("ws")
     // grams exist only at word positions [1, size - n + 1]; sequence()
@@ -87,9 +87,6 @@ object SubstringDedup {
     // empty array, not sequence(1, 0)
     val starts = when(size(ws) >= n, sequence(lit(1), size(ws) - (n - 1)))
       .otherwise(array().cast("array<int>"))
-    // gram text is projected to (word len, gram len, md5) IN THE SCAN
-    // STAGE: the struct carries the gram string across only the
-    // posexplode (same-stage), never an exchange
     val exploded = docs
       .select(col(idCol), split(coalesce(col(textCol), lit("")), " ").as("ws"))
       .select(col(idCol),
@@ -119,19 +116,19 @@ object SubstringDedup {
         coalesce(col(idCol).cast("string"), lit("NULL")), lit(":"),
         col("pos").cast("string"))).cast("long"))
       .otherwise(shiftleft(col(idCol).cast("long"), 21) + col("pos"))
-    val occ = exploded
+    exploded
       .withColumn("char_start", coalesce(sum(col("wlen") + 1L).over(wOff), lit(0L)))
       .withColumn("char_end", col("char_start") + col("glen"))
       .withColumn("pk", packed)
       .select(col(idCol), col("h"), col("pk"), col("char_start"), col("char_end"))
-    val byGram = occ.groupBy(col("h"))
-      .agg(count(lit(1)).as("c"), min(col("pk")).as("w"))
-    val removal = occ.join(byGram, Seq("h"))
-      .filter(col("c") >= 2L && col("pk") =!= col("w"))
-      .select(col(idCol), col("char_start"), col("char_end"))
-    // merge overlapping-or-touching spans: a span opens a new segment
-    // iff it starts strictly after the running max end of everything
-    // before it; both window frames share one partition+sort
+  }
+
+  /** Merge overlapping-or-touching (idCol, char_start, char_end) rows
+    * into maximal intervals: a span opens a new segment iff it starts
+    * strictly after the running max end of everything before it; both
+    * window frames share one partition+sort.
+    */
+  private def mergeSpans(removal: DataFrame, idCol: String): DataFrame = {
     val wPrev = Window.partitionBy(col(idCol))
       .orderBy(col("char_start"), col("char_end"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -148,6 +145,25 @@ object SubstringDedup {
       .select(col(idCol), col("span_start"), col("span_end"))
   }
 
+  /** Merged removal spans (idCol, span_start, span_end), char
+    * coordinates over the original text, end exclusive: the all-but-
+    * winner occurrences of every duplicated word n-gram, coalesced per
+    * doc into maximal non-overlapping intervals. Docs with no
+    * duplicated grams (including docs shorter than n words) emit no
+    * rows. Null text folds to '' (the Chunking/Dedup convention).
+    */
+  def duplicateSpans(docs: DataFrame, n: Int = 8,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val occ = gramOccurrences(docs, n, idCol, textCol)
+    val byGram = occ.groupBy(col("h"))
+      .agg(count(lit(1)).as("c"), min(col("pk")).as("w"))
+    val removal = occ.join(byGram, Seq("h"))
+      .filter(col("c") >= 2L && col("pk") =!= col("w"))
+      .select(col(idCol), col("char_start"), col("char_end"))
+    mergeSpans(removal, idCol)
+  }
+
   /** The corpus after exact-substring dedup: (idCol, textCol, n_spans,
     * chars_removed) — every doc, its merged removal spans cut out,
     * with the cut observable per row (n_spans = merged spans removed,
@@ -162,8 +178,64 @@ object SubstringDedup {
     */
   def exactSubstringDedup(docs: DataFrame, n: Int = 8,
                           idCol: String = "doc_id",
-                          textCol: String = "text"): DataFrame = {
-    val spans = duplicateSpans(docs, n, idCol, textCol)
+                          textCol: String = "text"): DataFrame =
+    cutSpans(docs, duplicateSpans(docs, n, idCol, textCol), idCol, textCol)
+
+  /** Merged contaminated spans (idCol, span_start, span_end): every
+    * corpus occurrence of any word n-gram that occurs anywhere in the
+    * test set, coalesced per doc into maximal intervals — the span-level
+    * companion of [[Dedup.ngramContamination]] for the excision regime
+    * (see [[excisedCorpus]]). Unlike [[duplicateSpans]] there is no
+    * keep-one winner: contaminated text must go EVERYWHERE it occurs.
+    *
+    * Scale shape: corpus gram text never crosses an exchange (the
+    * [[gramOccurrences]] projection); the test gram set is DISTINCT and
+    * broadcast (a release is small — the contamination contract), so
+    * candidate selection is one broadcast LEFT SEMI join on the scan
+    * output, and only span rows (two longs) reach the merge windows.
+    */
+  def contaminationSpans(corpus: DataFrame, testSet: DataFrame, n: Int = 13,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val ws = col("ws")
+    val starts = when(size(ws) >= n, sequence(lit(1), size(ws) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    val testGrams = broadcast(testSet
+      .select(split(coalesce(col(textCol), lit("")), " ").as("ws"))
+      .select(explode(transform(starts,
+        i => md5(array_join(slice(ws, i, lit(n)), " ")))).as("h"))
+      .distinct())
+    val removal = gramOccurrences(corpus, n, idCol, textCol)
+      .join(testGrams, Seq("h"), "left_semi")
+      .select(col(idCol), col("char_start"), col("char_end"))
+    mergeSpans(removal, idCol)
+  }
+
+  /** Decontamination by EXCISION — the corpus transform that keeps the
+    * document and cuts out the leaked material, for the regime where
+    * dropping whole docs ([[Dedup.ngramDecontaminatedCorpus]]) is too
+    * lossy (one quoted benchmark question should not delete a million-
+    * token document): every corpus occurrence of any test-set word
+    * n-gram is removed as an exact char span, merged and cut exactly as
+    * [[exactSubstringDedup]] cuts duplicate spans. Returns every input
+    * doc with (textCol, n_spans, chars_removed) — untouched docs pass
+    * through with zero counters.
+    */
+  def excisedCorpus(corpus: DataFrame, testSet: DataFrame, n: Int = 13,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame =
+    cutSpans(corpus, contaminationSpans(corpus, testSet, n, idCol, textCol),
+      idCol, textCol)
+
+  /** The corpus with the given merged, non-overlapping spans cut out of
+    * the text: (idCol, textCol, n_spans, chars_removed), zero counters
+    * for untouched docs — the no-silent-drop contract. The cut is one
+    * `aggregate` walk over the doc's sorted span array (see
+    * [[exactSubstringDedup]]).
+    */
+  private def cutSpans(docs: DataFrame, spanRows: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val spans = spanRows
       .groupBy(col(idCol))
       .agg(
         array_sort(collect_list(struct(col("span_start"), col("span_end")))).as("spans"),

@@ -110,6 +110,25 @@ class SubstringDedupSpec extends SparkTestBase {
     assert(out(2L)._2 == "too short for grams")
   }
 
+  test("excision: every test-gram occurrence cut everywhere, no keep-one winner") {
+    val corpus = Seq(
+      (0L, "a b c d e f g h"),          // == the test doc: cut to ''
+      (1L, "x a b c d e f g h y"),      // embedded copy: cut, no winner kept
+      (2L, "p q r s t u v w")           // disjoint — untouched
+    ).toDF("doc_id", "text")
+    val tests = Seq((100L, "a b c d e f g h")).toDF("test_id", "text")
+    val out = SubstringDedup.excisedCorpus(corpus, tests, n = 8)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // contrast exactSubstringDedup: doc 0 is NOT a winner here — the
+    // leaked gram goes everywhere it occurs
+    assert(out(0L) == ((0L, "", 1L, 15L)))
+    assert(out(1L) == ((1L, "x  y", 1L, 15L)))
+    assert(out(2L) == ((2L, "p q r s t u v w", 0L, 0L)))
+    // after excision no test gram survives anywhere in the corpus
+    val cut = SubstringDedup.excisedCorpus(corpus, tests, n = 8)
+    assert(cut.filter(col("text").contains("a b c d e f g h")).count() == 0)
+  }
+
   test("packed coordinate guard fails loudly on a negative doc id") {
     val d = Seq((-1L, "a b c d e f g h"), (1L, "a b c d e f g h"))
       .toDF("doc_id", "text")
