@@ -1014,6 +1014,37 @@ object SparkEntry {
     "q_gopher_filter" -> ((s, dir) =>
       Filtering.gopherRepetitionFilter(guardMaxWords(docs(s, dir), "text", 4097))
         .select(col("doc_id"), col("keep"))),
+    // C4-style line-level cleaning over a PLANTED line structure (the
+    // natural docs are single-line, unpunctuated word streams): each
+    // doc's words regroup into 7-word lines whose terminal punctuation
+    // cycles . ! ? <none> on (doc_id + line) % 4 — so ~1/4 of lines fail
+    // the punctuation rule and the (usually short) last line fails the
+    // >=5-words rule; every doc gets a 2-word 'too short.' line,
+    // doc_id%5==0 docs a javascript boilerplate line (line-rule c),
+    // doc_id%11==0 a lorem-ipsum line (page rule), doc_id%13==0 a
+    // {-brace code line (page rule). Oracle replays construction + every
+    // rule in list arithmetic — clean_text is hash-checked byte-exact.
+    "q_line_clean" -> ((s, dir) => {
+      val structured = docs(s, dir).select(col("doc_id"), expr(
+        """element_at(transform(array(split(text, ' ')), __ws -> concat(
+          | array_join(transform(sequence(0, (size(__ws) + 6) div 7 - 1),
+          |   i -> concat(array_join(slice(__ws, CAST(i*7+1 AS INT), 7), ' '),
+          |     element_at(array('.','!','?',''), CAST((doc_id + i) % 4 AS INT) + 1))),
+          |  chr(10)),
+          | CASE WHEN doc_id % 5 = 0
+          |   THEN concat(chr(10), 'enable javascript in your browser settings.')
+          |   ELSE '' END,
+          | concat(chr(10), 'too short.'),
+          | CASE WHEN doc_id % 11 = 0
+          |   THEN concat(chr(10), 'this page uses lorem ipsum filler text.')
+          |   ELSE '' END,
+          | CASE WHEN doc_id % 13 = 0
+          |   THEN concat(chr(10), 'see { code } sample block here now.')
+          |   ELSE '' END)), 1)""".stripMargin.replace("\n", " ")).as("text"))
+      Filtering.c4LineClean(structured)
+        .select(col("doc_id"), col("clean_text"), col("n_lines"),
+          col("n_kept"), col("keep"))
+    }),
     // deterministic Bernoulli sampling at 19661/65536 ~ 30%: the 4-hex
     // md5 prefix comparison replays verbatim in ANSI SQL
     "q_hash_sample" -> ((s, dir) =>
@@ -1254,6 +1285,26 @@ object SparkEntry {
               md5(concat(lit("x"), col("doc_id"), lit(":1"))),
               md5(concat(lit("x"), col("doc_id"), lit(":2")))).as("text")))
       Dedup.ngramDecontaminatedCorpus(corpus, tests, n = 13)
+        .select(col("doc_id"), col("text"))
+    }),
+    // SPLIT self-decontamination: after assignSplit carves train/val/
+    // test from one corpus, drop every TRAIN doc sharing a 13-gram with
+    // any held-out (val/test) doc — the hygiene step that makes a
+    // held-out split actually held out (the natural corpus has
+    // byte-identical twins under different doc_ids, so real cross-split
+    // leaks exist: 9 of 457 train docs at sf0.001). Pure composition of
+    // assignSplit + ngramDecontaminatedCorpus; NATURAL text, full
+    // 13-gram replay oracle.
+    "q_split_decontam" -> ((s, dir) => {
+      val d = guardMaxWords(docs(s, dir), "text", 100)
+        .select(col("doc_id"), col("text"))
+      val sp = Filtering.assignSplit(d, col("doc_id"),
+        Seq("train" -> 58982, "val" -> 3277, "test" -> 3277), salt = "graft")
+      val train = sp.filter(col("split") === "train")
+        .select(col("doc_id"), col("text"))
+      val held = sp.filter(col("split") =!= "train")
+        .select(col("doc_id").as("test_id"), col("text"))
+      Dedup.ngramDecontaminatedCorpus(train, held, n = 13)
         .select(col("doc_id"), col("text"))
     }),
     // sequence-level decontamination: the REAL contamination operator
@@ -2398,6 +2449,32 @@ object SparkEntry {
           |   AND COALESCE(d3.dupc, 0) * 10000 <= 2000 * w.nb) AS keep
           |FROM w LEFT JOIN t2 ON t2.doc_id = w.doc_id AND t2.rn = 1
           |LEFT JOIN d3 ON d3.doc_id = w.doc_id""".stripMargin.replace("\n", " "),
+      // replay of the line-structure plant + every C4 rule: 7-word line
+      // regrouping with (doc_id+i)%4 punctuation, the planted javascript
+      // / too-short / lorem-ipsum / brace lines, then the line filter
+      // (terminal punct, >=5 non-empty words, no 'javascript') and the
+      // page verdict (>=3 kept lines, no 'lorem ipsum', no '{')
+      "q_line_clean" ->
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |s AS (SELECT doc_id,
+          |  array_to_string(list_transform(range(0, (len(ws)+6)//7),
+          |    i -> array_to_string(ws[i*7+1:i*7+7], ' ') ||
+          |         ['.','!','?',''][CAST((doc_id + i) % 4 AS INT) + 1]), chr(10))
+          |  || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'enable javascript in your browser settings.' ELSE '' END
+          |  || chr(10) || 'too short.'
+          |  || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'this page uses lorem ipsum filler text.' ELSE '' END
+          |  || CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'see { code } sample block here now.' ELSE '' END AS text
+          |  FROM w),
+          |l AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM s),
+          |k AS (SELECT doc_id, text, len(ls) AS n_lines,
+          |  list_filter(ls, x -> right(rtrim(x), 1) IN ('.', '!', '?', '"')
+          |    AND len(list_filter(string_split(trim(x), ' '), w2 -> w2 <> '')) >= 5
+          |    AND NOT contains(lower(x), 'javascript')) AS kept FROM l)
+          |SELECT doc_id, COALESCE(array_to_string(kept, chr(10)), '') AS clean_text,
+          |  CAST(n_lines AS INT) AS n_lines, CAST(len(kept) AS INT) AS n_kept,
+          |  (len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+          |   AND NOT contains(text, '{')) AS keep
+          |FROM k""".stripMargin.replace("\n", " "),
       // 19661 = 0x4ccd; the 4-hex md5 prefix comparison is engine-neutral
       "q_hash_sample" ->
         """SELECT doc_id FROM documents
@@ -2614,6 +2691,25 @@ object SparkEntry {
           |  FROM w JOIN generate_series(0, 87) AS s(i) ON s.i <= len(ws) - 13
           |  JOIN tg ON array_to_string(ws[s.i+1 : s.i+13], ' ') = tg.g)
           |SELECT d.doc_id, d.text FROM documents d
+          |  LEFT JOIN flagged f ON d.doc_id = f.doc_id
+          |  WHERE f.doc_id IS NULL""".stripMargin.replace("\n", " "),
+      // the q_split_assign CASE + the 13-gram machinery: held-out grams
+      // from val/test docs, train docs flagged on any shared gram
+      "q_split_decontam" ->
+        """WITH s AS (SELECT doc_id, COALESCE(text, '') AS text,
+          |    string_split(COALESCE(text, ''), ' ') AS ws,
+          |  CASE WHEN substring(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'train'
+          |       WHEN substring(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'f333' THEN 'val'
+          |       ELSE 'test' END AS split FROM documents),
+          |hg AS (SELECT DISTINCT array_to_string(ws[t.i+1 : t.i+13], ' ') AS g
+          |  FROM s JOIN generate_series(0, 87) AS t(i) ON t.i <= len(ws) - 13
+          |  WHERE split <> 'train'),
+          |flagged AS (SELECT DISTINCT s.doc_id
+          |  FROM s JOIN generate_series(0, 87) AS t(i) ON t.i <= len(ws) - 13
+          |  JOIN hg ON array_to_string(ws[t.i+1 : t.i+13], ' ') = hg.g
+          |  WHERE split = 'train')
+          |SELECT d.doc_id, d.text FROM documents d
+          |  JOIN (SELECT doc_id FROM s WHERE split = 'train') tr ON d.doc_id = tr.doc_id
           |  LEFT JOIN flagged f ON d.doc_id = f.doc_id
           |  WHERE f.doc_id IS NULL""".stripMargin.replace("\n", " "),
       // planted 20-word universe => every doc chunks to (16, 8); the

@@ -399,4 +399,58 @@ object Filtering {
         size(regexp_extract_all(noEmailIp, lit(DigitRunPattern), lit(0))))
       .withColumn(textCol, regexp_replace(noEmailIp, DigitRunPattern, "[NUM]"))
   }
+
+  /** C4-style LINE-level cleaning (Raffel et al. 2020 §2.2 — the classic
+    * web-corpus first stage, upstream of doc-level quality filters):
+    * a line survives iff it (a) ends in a terminal punctuation mark
+    * (`. ! ? "`), (b) has at least `minLineWords` words, and (c) does
+    * not contain the word "javascript" (case-insensitive — the C4 rule
+    * for enable-JS boilerplate). The document's `textCol` is REPLACED by
+    * the surviving lines rejoined with newlines as `clean_text`, and the
+    * page-level verdict (`keep`) requires at least `minKeptLines`
+    * surviving lines and none of `badPhrases` (default C4's
+    * "lorem ipsum") or — when `dropCodeBrace` — a `{` anywhere in the
+    * ORIGINAL text (C4's drop-code heuristic). Counters `n_lines` /
+    * `n_kept` plus the `keep` flag keep every decision observable (no
+    * silent drops); callers filter on `keep` and select `clean_text`.
+    *
+    * Scale: a pure per-row projection over built-in higher-order
+    * functions — shuffle-free, codegen'd, runs at scan speed. Both the
+    * raw text and its line array are LET-BOUND as lambda variables
+    * (`transform(array(...), v -> ...)`, the [[repetitionStats]]
+    * pattern), so a computed upstream text column evaluates exactly once
+    * per row and the split exactly once, no matter how many outputs
+    * consume them. Every predicate is engine-neutral string arithmetic
+    * (no regex beyond the newline split), so the whole operator replays
+    * exactly in ANSI SQL — see the q_line_clean oracle.
+    */
+  def c4LineClean(df: DataFrame, textCol: String = "text",
+                  minLineWords: Int = 5, minKeptLines: Int = 3,
+                  badPhrases: Seq[String] = Seq("lorem ipsum"),
+                  dropCodeBrace: Boolean = true): DataFrame = {
+    val lineOk =
+      s"""(right(rtrim(__l), 1) IN ('.', '!', '?', '"')
+         | AND size(filter(split(trim(__l), ' '), __w -> __w != '')) >= $minLineWords
+         | AND NOT contains(lower(__l), 'javascript'))"""
+        .stripMargin.replace("\n", " ")
+    val pageChecks =
+      badPhrases.map(p =>
+        s"NOT contains(lower(__t), '${p.toLowerCase.replace("'", "''")}')") ++
+        (if (dropCodeBrace) Seq("NOT contains(__t, '{')") else Nil)
+    val pageOk = if (pageChecks.isEmpty) "true" else pageChecks.mkString(" AND ")
+    val c4Sql =
+      s"""element_at(transform(array(coalesce(`$textCol`, '')), __t ->
+         | element_at(transform(array(split(__t, chr(10))), __ls -> named_struct(
+         |   'n_lines', size(__ls),
+         |   'kept', filter(__ls, __l -> $lineOk),
+         |   'page_ok', ($pageOk))), 1)), 1)"""
+        .stripMargin.replace("\n", " ")
+    df.withColumn("__c4", expr(c4Sql))
+      .withColumn("clean_text", array_join(col("__c4.kept"), "\n"))
+      .withColumn("n_lines", col("__c4.n_lines"))
+      .withColumn("n_kept", size(col("__c4.kept")))
+      .withColumn("keep",
+        col("__c4.page_ok") && size(col("__c4.kept")) >= minKeptLines)
+      .drop("__c4")
+  }
 }

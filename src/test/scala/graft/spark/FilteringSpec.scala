@@ -211,4 +211,52 @@ class FilteringSpec extends SparkTestBase {
     // already-masked email/IP is NOT double-counted
     assert(out(4)._5 == 1)
   }
+
+  test("c4LineClean applies each line rule and page rule independently; no silent drops") {
+    val good = "this line has enough words here."
+    val texts = Seq(
+      // 0: three good lines -> page kept, all lines kept
+      s"$good\n$good\n$good",
+      // 1: punctuation rule — no terminal punct / wrong punct / trailing-space punct
+      s"this line has enough words here\nthis line has enough words here,\n$good  \n$good\n$good",
+      // 2: min-words rule — 4 words fails, 5 words passes; multi-space runs don't inflate the count
+      s"only four words here.\nfive  words   due to us.\n$good\n$good",
+      // 3: javascript rule, case-insensitive
+      s"please enable JavaScript to view this.\n$good\n$good\n$good",
+      // 4: only two lines survive -> page dropped, clean_text still reported
+      s"$good\n$good\nshort line.",
+      // 5: lorem ipsum anywhere in the ORIGINAL text -> page dropped even with 3 good lines
+      s"$good\n$good\n$good\nstandard lorem ipsum passage follows next here.",
+      // 6: a { in the original text -> page dropped
+      s"$good\n$good\n$good\nif (x) { return y; } done now ok.",
+      // 7: empty last line from trailing newline fails min-words, not an NPE
+      s"$good\n$good\n$good\n",
+      // 8: quote is terminal punctuation
+      "he said the magic word aloud \"\n" + s"$good\n$good\n$good")
+    val out = Filtering.c4LineClean(mkDocs(texts))
+      .select($"doc_id", $"clean_text", $"n_lines", $"n_kept", $"keep")
+      .as[(Long, String, Int, Int, Boolean)].collect().sortBy(_._1)
+    assert(out(0) == ((0L, s"$good\n$good\n$good", 3, 3, true)))
+    assert(out(1)._4 == 3 && out(1)._5 && !out(1)._2.contains(","))
+    // trailing-space line: rtrim before the punct check keeps it
+    assert(out(1)._2.split("\n").length == 3)
+    assert(out(2)._4 == 3 && out(2)._2.startsWith("five"))
+    assert(out(3)._4 == 3 && out(3)._5 && !out(3)._2.toLowerCase.contains("javascript"))
+    assert(out(4)._4 == 2 && !out(4)._5 && out(4)._2 == s"$good\n$good")
+    assert(out(5)._4 == 4 && !out(5)._5) // line rules pass, page rule vetoes
+    assert(out(6)._4 == 4 && !out(6)._5)
+    assert(out(7) == ((7L, s"$good\n$good\n$good", 4, 3, true)))
+    assert(out(8)._4 == 4 && out(8)._5)
+    // null text: folds to '' — observable row with keep=false, never dropped or NPE
+    val nulls = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(99L, null: String))),
+      mkDocs(Seq("x")).schema)
+    val nr = Filtering.c4LineClean(nulls)
+      .select($"doc_id", $"clean_text", $"n_lines", $"n_kept", $"keep")
+      .as[(Long, String, Int, Int, Boolean)].collect()
+    assert(nr.toSeq == Seq((99L, "", 1, 0, false)))
+    // shuffle-free: pure projection, no Exchange in the plan
+    val plan = Filtering.c4LineClean(mkDocs(texts)).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
