@@ -880,6 +880,24 @@ object SparkEntry {
       Dedup.dedupedCorpus(withExact, simThreshold = 0.5)
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
     }),
+    // corpus -> kept docs with the BEST-SCORE survivor policy (score =
+    // doc_id % 7): same chain + byte-twin universe as q_dedup_corpus,
+    // but the election is argmax score, ties to min id. Chain member
+    // offsets {0,1,2} (and the twin's 3) are distinct mod 7, so every
+    // election is tie-free and the survivor — exact tier first, then
+    // the component vote among {exact winner, +1e6, +2e6} — collapses
+    // to pure CASE arithmetic the oracle replays, INCLUDING the
+    // survivor's text (base md5 words + the deterministic marker
+    // suffix of whichever member won).
+    "q_dedup_corpus_best" -> ((s, dir) => {
+      val base = chainBase(s, dir)
+      val chained = Dedup.withPerturbedChain(base)
+      val withExact = chained.unionByName(base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + lit(3000000L)).as("doc_id"), col("text")))
+        .localCheckpoint() // pin the synthesized universe (q_dedup_corpus's note)
+      Dedup.dedupedCorpusBy(withExact, col("doc_id") % 7, simThreshold = 0.5)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    }),
     "q_simhash" -> ((s, dir) =>
       Dedup.simhashTable(docs(s, dir))),
     // partial oracle for simhash (VERDICT r2 item 5): byte-identical
@@ -2347,6 +2365,24 @@ object SparkEntry {
       "q_dedup_corpus" ->
         s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, $ChainTextSql AS text
            | FROM documents""".stripMargin.replace("\n", ""),
+      // the whole two-tier best-score election as CASE arithmetic: the
+      // exact tier keeps the byte twin with max(id % 7) (offsets 0 vs 3
+      // are never tied mod 7), then the component vote among the exact
+      // winner and the two chain siblings (offsets 1, 2 — all three
+      // scores distinct mod 7); the survivor's text is the base 16-md5
+      // string plus its member's marker suffix
+      "q_dedup_corpus_best" ->
+        s"""WITH b AS (SELECT doc_id AS d, $ChainTextSql AS base FROM documents),
+           |e AS (SELECT d, base,
+           |  CASE WHEN d % 10 = 0 AND (d + 3) % 7 > d % 7 THEN d + 3000000 ELSE d END AS eid,
+           |  CASE WHEN d % 10 = 0 AND (d + 3) % 7 > d % 7 THEN (d + 3) % 7 ELSE d % 7 END AS se
+           |  FROM b)
+           |SELECT CAST(CASE WHEN se > (d+1) % 7 AND se > (d+2) % 7 THEN eid
+           |  WHEN (d+1) % 7 > (d+2) % 7 THEN d + 1000000 ELSE d + 2000000 END AS BIGINT) AS doc_id,
+           | base || CASE WHEN se > (d+1) % 7 AND se > (d+2) % 7 THEN ''
+           |  WHEN (d+1) % 7 > (d+2) % 7 THEN ' zzchainmarkerone'
+           |  ELSE ' zzchainmarkerone zzchainmarkertwo' END AS text
+           |FROM e""".stripMargin.replace("\n", " "),
       "q_fingerprint_consistency" ->
         """SELECT CAST(count(*) AS BIGINT) AS n_docs,
           | CAST(0 AS BIGINT) AS n_inconsistent FROM documents"""

@@ -1,7 +1,7 @@
 package graft.spark
 
 import graft.text.Fingerprints
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -608,6 +608,79 @@ object Dedup {
     docs.join(exactLosers.unionByName(nearLosers).distinct(),
       Seq("doc_id"), "left_anti")
   }
+
+  /** [[nearDupGroups]] with a caller-supplied SURVIVOR POLICY: the kept
+    * doc per component is the one with the highest `scoreCol` (longest /
+    * highest-quality — what production dedup actually keeps; min-id is
+    * an arbitrary choice that systematically discards the better copy
+    * when near-dups differ in quality), ties broken to min doc_id so
+    * the choice stays deterministic. `scoreCol` must be non-null
+    * (fail-loud) and exactly representable (integer-like) — the
+    * survivor election joins on score EQUALITY, so a score whose
+    * recomputation can drift (float expression re-planned differently)
+    * would corrupt the election silently.
+    *
+    * Scale shape: components come from [[nearDupGroups]] (its label IS
+    * the component key); the election is two hash-aggregable passes —
+    * max(score) per component, then min(doc_id) among the maximal —
+    * plus key-only joins. Only (doc_id, comp, score) triples ever move;
+    * group membership is tiny relative to the corpus (near-dup members
+    * only).
+    */
+  def nearDupGroupsBy(docs: DataFrame, scoreCol: Column,
+                      simThreshold: Double = 0.7,
+                      jaccardThreshold: Double = 0.5, iters: Int = 8,
+                      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val comp = nearDupGroups(docs, simThreshold, jaccardThreshold, iters,
+        maxBucketSize)
+      .select(col("doc_id"), col("survivor").as("__comp"))
+    val scored = comp.join(
+      docs.select(col("doc_id"), guardedScore(scoreCol).as("__score")),
+      Seq("doc_id"))
+    val best = scored.groupBy(col("__comp")).agg(max(col("__score")).as("__score"))
+    val surv = scored.join(best, Seq("__comp", "__score"))
+      .groupBy(col("__comp")).agg(min(col("doc_id")).as("survivor"))
+    comp.join(surv, Seq("__comp")).select(col("doc_id"), col("survivor"))
+  }
+
+  /** [[dedupedCorpus]] with the best-score survivor policy, applied
+    * SEQUENTIALLY the way a production pipeline runs it: exact tier
+    * first (byte-identical texts keep the best-scored copy, ties to min
+    * doc_id), then the near-dup tier ([[nearDupGroupsBy]]) over the
+    * exact survivors. Sequencing matters under a score policy: running
+    * the near tier over the raw corpus would let a byte-twin the exact
+    * tier discards cast a component vote, and the two tiers could elect
+    * DIFFERENT survivors for the same text (with min-id the tiers agree
+    * by construction, so [[dedupedCorpus]] can run them independently).
+    * Same movement bound as [[dedupedCorpus]]: ids/hashes/scores cross
+    * the exchanges, full-width rows only in the two left_anti joins.
+    */
+  def dedupedCorpusBy(docs: DataFrame, scoreCol: Column,
+                      simThreshold: Double = 0.7,
+                      jaccardThreshold: Double = 0.5, iters: Int = 8,
+                      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val ids = docs.select(col("doc_id"), guardedScore(scoreCol).as("__score"),
+      md5(coalesce(col("text"), lit(""))).as("h"))
+    val best = ids.groupBy(col("h")).agg(max(col("__score")).as("__score"))
+    val keep = ids.join(best, Seq("h", "__score"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+    val exactLosers = ids.join(keep, Seq("h"))
+      .filter(col("doc_id") =!= col("keep_id")).select(col("doc_id"))
+    val kept = docs.join(exactLosers, Seq("doc_id"), "left_anti")
+    val nearLosers = nearDupGroupsBy(kept, scoreCol, simThreshold,
+        jaccardThreshold, iters, maxBucketSize)
+      .filter(col("doc_id") =!= col("survivor")).select(col("doc_id"))
+    kept.join(nearLosers, Seq("doc_id"), "left_anti")
+  }
+
+  // a NULL score would vanish from max() and elect a wrong (or no)
+  // survivor silently — the same corruption class as a null hash key
+  private def guardedScore(scoreCol: Column): Column =
+    when(scoreCol.isNull,
+      raise_error(lit("survivor score is NULL — nearDupGroupsBy/" +
+        "dedupedCorpusBy require a non-null score for every doc"))
+        .cast("long"))
+      .otherwise(scoreCol)
 
   // ===== partial-inclusion contamination (round 5) =========================
 

@@ -499,6 +499,53 @@ class DedupSpec extends SparkTestBase {
       s"extra: ${(kept -- expected).take(5)}, missing: ${(expected -- kept).take(5)}")
   }
 
+  test("nearDupGroupsBy: best-score survivor, ties to min id, null score fails loudly") {
+    val (_, chained) = chainUniverse
+    // score = doc_id % 7: chain member offsets {0, 1e6, 2e6} are {0,1,2}
+    // mod 7, so the elected survivor differs from min-id on most chains
+    val groups = Dedup.nearDupGroupsBy(chained, col("doc_id") % 7,
+        simThreshold = 0.5).as[(Long, Long)].collect()
+    groups.foreach { case (member, survivor) =>
+      val d = member % 1000000L
+      val expected = Seq(d, d + 1000000L, d + 2000000L).maxBy(m => (m % 7, -m))
+      assert(survivor == expected, s"member $member -> $survivor, want $expected")
+    }
+    // at least one chain must elect a non-min survivor or the test is vacuous
+    assert(groups.exists { case (m, s) => s != m % 1000000L })
+    // tie-break: equal scores -> min doc_id (constant score ties everything)
+    val tied = Dedup.nearDupGroupsBy(chained, lit(1L), simThreshold = 0.5)
+      .as[(Long, Long)].collect()
+    tied.foreach { case (member, survivor) =>
+      assert(survivor == member % 1000000L, s"tie: $member -> $survivor")
+    }
+    // null score: loud failure, not a silent mis-election
+    val ex = intercept[Exception] {
+      Dedup.nearDupGroupsBy(chained,
+        when(col("doc_id") % 1000000L === 0, lit(null).cast("long"))
+          .otherwise(col("doc_id") % 7), simThreshold = 0.5).count()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("dedupedCorpusBy: exact tier keeps best-scored twin, then the component vote") {
+    val (base, chained) = chainUniverse
+    val withExact = chained.unionByName(base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + lit(3000000L)).as("doc_id"), col("text")))
+    val kept = Dedup.dedupedCorpusBy(withExact, col("doc_id") % 7,
+        simThreshold = 0.5)
+      .select(col("doc_id")).as[Long].collect().toSet
+    val expected = base.select(col("doc_id")).as[Long].collect().toSet.map { d: Long =>
+      // exact tier: d vs d+3e6 (offsets 0 vs 3 mod 7, never tied)
+      val e = if (d % 10 == 0 && (d + 3) % 7 > d % 7) d + 3000000L else d
+      // component vote among {exact winner, +1e6, +2e6}
+      Seq(e, d + 1000000L, d + 2000000L).maxBy(m => (m % 7, -m))
+    }
+    assert(kept == expected,
+      s"extra: ${(kept -- expected).take(5)}, missing: ${(expected -- kept).take(5)}")
+    // the policy must actually bite: some survivor is a byte twin or sibling
+    assert(expected.exists(_ >= 1000000L))
+  }
+
   test("decontaminatedCorpus drops exactly the containing docs, full and partial regimes") {
     // unique-word universe: no natural cross-doc fingerprint sharing
     val corpus = spark.range(0, 60).toDF("doc_id")
