@@ -1063,6 +1063,37 @@ object SparkEntry {
         .select(col("doc_id"), col("clean_text"), col("n_lines"),
           col("n_kept"), col("keep"))
     }),
+    // WITHIN-doc line dedup over a planted line structure: 5-word
+    // lines; doc_id%7==0 docs carry their whole text TWICE (every line
+    // duplicated, first copies survive in order), doc_id%2==0 docs
+    // re-append their first line (a late duplicate of an early line).
+    // Oracle replays the construction + the first-occurrence rule with
+    // DuckDB's 1-based indexed list_filter.
+    "q_line_dedup" -> ((s, dir) => {
+      val structured = docs(s, dir).select(col("doc_id"), expr(
+        """element_at(transform(array(split(text, ' ')), __ws ->
+          | element_at(transform(array(
+          |   array_join(transform(sequence(0, (size(__ws) + 4) div 5 - 1),
+          |     i -> array_join(slice(__ws, CAST(i*5+1 AS INT), 5), ' ')), chr(10))),
+          |  __s -> concat(
+          |   CASE WHEN doc_id % 7 = 0 THEN concat(__s, chr(10), __s) ELSE __s END,
+          |   CASE WHEN doc_id % 2 = 0
+          |     THEN concat(chr(10), element_at(split(__s, chr(10)), 1))
+          |     ELSE '' END)), 1)), 1)""".stripMargin.replace("\n", " ")).as("text"))
+      Filtering.dedupLinesInDoc(structured)
+        .select(col("doc_id"), col("clean_text"), col("n_lines"), col("n_kept"))
+    }),
+    // vocabulary induction: top-16 words by exact corpus frequency,
+    // ties to the lexicographically smaller word — the deterministic
+    // seed step of a tokenizer build. 16 < the corpus's 31 distinct
+    // words, so the cut is exercised.
+    "q_vocab" -> ((s, dir) =>
+      graft.spark.Vocab.topK(docs(s, dir), 16)),
+    // per-doc OOV coverage against that induced vocabulary: one
+    // broadcast join + partial agg; every doc_id present exactly once
+    "q_oov" -> ((s, dir) =>
+      graft.spark.Vocab.oovStats(docs(s, dir),
+        graft.spark.Vocab.topK(docs(s, dir), 16))),
     // deterministic Bernoulli sampling at 19661/65536 ~ 30%: the 4-hex
     // md5 prefix comparison replays verbatim in ANSI SQL
     "q_hash_sample" -> ((s, dir) =>
@@ -2511,6 +2542,43 @@ object SparkEntry {
           |  (len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
           |   AND NOT contains(text, '{')) AS keep
           |FROM k""".stripMargin.replace("\n", " "),
+      // construction replay + first-occurrence rule; DuckDB's indexed
+      // list_filter lambda is 1-based (Spark's is 0-based, hence = i+1
+      // there and = i here)
+      "q_line_dedup" ->
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |s0 AS (SELECT doc_id, array_to_string(list_transform(range(0, (len(ws)+4)//5),
+          |    i -> array_to_string(ws[i*5+1:i*5+5], ' ')), chr(10)) AS s FROM w),
+          |s AS (SELECT doc_id,
+          |    (CASE WHEN doc_id % 7 = 0 THEN s || chr(10) || s ELSE s END)
+          |    || CASE WHEN doc_id % 2 = 0 THEN chr(10) || string_split(s, chr(10))[1] ELSE '' END AS text
+          |  FROM s0),
+          |l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM s),
+          |k AS (SELECT doc_id, len(ls) AS n_lines,
+          |    list_filter(ls, (x, i) -> list_position(ls, x) = i) AS kept FROM l)
+          |SELECT doc_id, COALESCE(array_to_string(kept, chr(10)), '') AS clean_text,
+          |  CAST(n_lines AS INT) AS n_lines, CAST(len(kept) AS INT) AS n_kept
+          |FROM k""".stripMargin.replace("\n", " "),
+      "q_vocab" ->
+        """WITH w AS (SELECT unnest(string_split(COALESCE(text, ''), ' ')) AS word
+          |    FROM documents),
+          |c AS (SELECT word, count(*) AS cnt FROM w WHERE word <> '' GROUP BY word),
+          |r AS (SELECT word, CAST(cnt AS BIGINT) AS cnt,
+          |    CAST(row_number() OVER (ORDER BY cnt DESC, word) AS INT) AS rank FROM c)
+          |SELECT word, cnt, rank FROM r WHERE rank <= 16""".stripMargin.replace("\n", " "),
+      "q_oov" ->
+        """WITH wd AS (SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS word
+          |    FROM documents),
+          |w AS (SELECT doc_id, word FROM wd WHERE word <> ''),
+          |c AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+          |v AS (SELECT word FROM c ORDER BY cnt DESC, word LIMIT 16),
+          |st AS (SELECT w.doc_id, count(*) AS n_tokens,
+          |    sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS n_oov
+          |  FROM w LEFT JOIN v ON w.word = v.word GROUP BY w.doc_id)
+          |SELECT d.doc_id, CAST(COALESCE(st.n_tokens, 0) AS BIGINT) AS n_tokens,
+          |  CAST(COALESCE(st.n_oov, 0) AS BIGINT) AS n_oov
+          |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id"""
+          .stripMargin.replace("\n", " "),
       // 19661 = 0x4ccd; the 4-hex md5 prefix comparison is engine-neutral
       "q_hash_sample" ->
         """SELECT doc_id FROM documents

@@ -453,4 +453,35 @@ object Filtering {
         col("__c4.page_ok") && size(col("__c4.kept")) >= minKeptLines)
       .drop("__c4")
   }
+
+  /** WITHIN-document line dedup: keep only the FIRST occurrence of each
+    * line inside a document (navigation menus, footers, and quoted
+    * reply chains repeat verbatim inside a single page — cross-doc
+    * paragraph dedup (Dedup.paragraphDedup) never sees them because it
+    * keeps one occurrence PER CORPUS, not per doc, and pays a corpus
+    * exchange to do it). Adds `clean_text` (surviving lines in original
+    * order) plus `n_lines`/`n_kept` counters; zero rows dropped.
+    *
+    * Scale: pure per-row projection — shuffle-free, scan-speed. The
+    * first-occurrence test is `array_position(lines, line) == index+1`
+    * inside a single indexed `filter` over the let-bound line array
+    * (O(lines²) per doc in the worst case, on line COUNTS, not chars —
+    * a 1000-line doc costs ~10^6 string compares of which almost all
+    * short-circuit on length). Replays exactly in ANSI SQL: DuckDB's
+    * indexed list_filter is 1-based where Spark's is 0-based — the
+    * oracle uses `= i`, this side `= i + 1`.
+    */
+  def dedupLinesInDoc(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val sql =
+      s"""element_at(transform(array(split(coalesce(`$textCol`, ''), chr(10))),
+         | __ls -> named_struct(
+         |  'n_lines', size(__ls),
+         |  'kept', filter(__ls, (__l, __i) -> array_position(__ls, __l) = __i + 1))), 1)"""
+        .stripMargin.replace("\n", " ")
+    df.withColumn("__ld", expr(sql))
+      .withColumn("clean_text", array_join(col("__ld.kept"), "\n"))
+      .withColumn("n_lines", col("__ld.n_lines"))
+      .withColumn("n_kept", size(col("__ld.kept")))
+      .drop("__ld")
+  }
 }

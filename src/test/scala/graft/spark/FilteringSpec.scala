@@ -259,4 +259,28 @@ class FilteringSpec extends SparkTestBase {
     val plan = Filtering.c4LineClean(mkDocs(texts)).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("dedupLinesInDoc keeps first occurrences in order; interior dups removed; null safe") {
+    val texts = Seq(
+      "a b\nc d\na b\ne f",        // interior duplicate of line 0
+      "x\nx\nx",                   // run of identical lines
+      "a b\nc d",                  // nothing to do
+      "one\ntwo\none\ntwo\nthree") // interleaved repeats
+    val out = Filtering.dedupLinesInDoc(mkDocs(texts))
+      .select($"doc_id", $"clean_text", $"n_lines", $"n_kept")
+      .as[(Long, String, Int, Int)].collect().sortBy(_._1)
+    assert(out(0) == ((0L, "a b\nc d\ne f", 4, 3)))
+    assert(out(1) == ((1L, "x", 3, 1)))
+    assert(out(2) == ((2L, "a b\nc d", 2, 2)))
+    assert(out(3) == ((3L, "one\ntwo\nthree", 5, 3)))
+    val nulls = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(9L, null: String))),
+      mkDocs(Seq("x")).schema)
+    val nr = Filtering.dedupLinesInDoc(nulls)
+      .select($"doc_id", $"clean_text", $"n_lines", $"n_kept")
+      .as[(Long, String, Int, Int)].collect()
+    assert(nr.toSeq == Seq((9L, "", 1, 1)))
+    val plan = Filtering.dedupLinesInDoc(mkDocs(texts)).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
