@@ -138,7 +138,7 @@ object Bench {
     "q_packed_provenance", "q_loss_mask", "q_packed_spans",
     "q_masked_pipeline", "q_substr_dedup", "q_lm_score",
     "q_curation_pipeline_v2", "q_ngram_decontaminated", "q_semantic_dedup",
-    "q_excised", "q_line_clean", "q_dedup_corpus_best")
+    "q_excised", "q_line_clean", "q_dedup_corpus_best", "q_line_pipeline")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1083,6 +1083,39 @@ object SparkEntry {
       Filtering.dedupLinesInDoc(structured)
         .select(col("doc_id"), col("clean_text"), col("n_lines"), col("n_kept"))
     }),
+    // the LINE layer composed with the quality layer: c4LineClean ->
+    // page filter -> dedupLinesInDoc -> Gopher repetition filter over
+    // the flattened clean text, ONE oracle replaying all four stages.
+    // Plant: 7-word '.'-terminated lines; %3 docs re-append line 0 (the
+    // dedup stage's work), %5 a javascript line (c4 drop), every doc a
+    // 'too short.' line (min-words drop), %11 a lorem line (page drop).
+    // 417/500 docs survive at sf0.001 — every stage bites.
+    "q_line_pipeline" -> ((s, dir) => {
+      val structured = docs(s, dir).select(col("doc_id"), expr(
+        """element_at(transform(array(split(text, ' ')), __ws ->
+          | element_at(transform(array(
+          |   array_join(transform(sequence(0, (size(__ws) + 6) div 7 - 1),
+          |     i -> concat(array_join(slice(__ws, CAST(i*7+1 AS INT), 7), ' '), '.')),
+          |    chr(10))),
+          |  __s -> concat(__s,
+          |   CASE WHEN doc_id % 3 = 0
+          |     THEN concat(chr(10), element_at(split(__s, chr(10)), 1)) ELSE '' END,
+          |   CASE WHEN doc_id % 5 = 0
+          |     THEN concat(chr(10), 'enable javascript in your browser settings.')
+          |     ELSE '' END,
+          |   concat(chr(10), 'too short.'),
+          |   CASE WHEN doc_id % 11 = 0
+          |     THEN concat(chr(10), 'this page uses lorem ipsum filler text.')
+          |     ELSE '' END)), 1)), 1)""".stripMargin.replace("\n", " ")).as("text"))
+      val pageKept = Filtering.c4LineClean(structured)
+        .filter(col("keep")).select(col("doc_id"), col("clean_text").as("text"))
+      val deduped = Filtering.dedupLinesInDoc(pageKept)
+        .select(col("doc_id"),
+          translate(col("clean_text"), "\n", " ").as("text"))
+      Filtering.gopherRepetitionFilter(guardMaxWords(deduped, "text", 4097))
+        .filter(col("keep"))
+        .select(col("doc_id"), col("text"))
+    }),
     // vocabulary induction: top-16 words by exact corpus frequency,
     // ties to the lexicographically smaller word — the deterministic
     // seed step of a tokenizer build. 16 < the corpus's 31 distinct
@@ -2559,6 +2592,44 @@ object SparkEntry {
           |SELECT doc_id, COALESCE(array_to_string(kept, chr(10)), '') AS clean_text,
           |  CAST(n_lines AS INT) AS n_lines, CAST(len(kept) AS INT) AS n_kept
           |FROM k""".stripMargin.replace("\n", " "),
+      // all four stages replayed: the plant, the c4 line + page rules,
+      // the 1-based indexed first-occurrence dedup, and the Gopher gram
+      // machinery over the flattened clean text
+      "q_line_pipeline" ->
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |s0 AS (SELECT doc_id, array_to_string(list_transform(range(0, (len(ws)+6)//7),
+          |    i -> array_to_string(ws[i*7+1:i*7+7], ' ') || '.'), chr(10)) AS s FROM w),
+          |st AS (SELECT doc_id, s
+          |  || CASE WHEN doc_id % 3 = 0 THEN chr(10) || string_split(s, chr(10))[1] ELSE '' END
+          |  || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'enable javascript in your browser settings.' ELSE '' END
+          |  || chr(10) || 'too short.'
+          |  || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'this page uses lorem ipsum filler text.' ELSE '' END AS text
+          |  FROM s0),
+          |l AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM st),
+          |c4 AS (SELECT doc_id, text, list_filter(ls, x -> right(rtrim(x), 1) IN ('.', '!', '?', '"')
+          |    AND len(list_filter(string_split(trim(x), ' '), w2 -> w2 <> '')) >= 5
+          |    AND NOT contains(lower(x), 'javascript')) AS kept FROM l),
+          |pk AS (SELECT doc_id, kept FROM c4 WHERE len(kept) >= 3
+          |  AND NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{')),
+          |dd AS (SELECT doc_id, list_filter(kept, (x, i) -> list_position(kept, x) = i) AS ded FROM pk),
+          |gt AS (SELECT doc_id, replace(COALESCE(array_to_string(ded, chr(10)), ''), chr(10), ' ') AS text,
+          |  strlen(replace(COALESCE(array_to_string(ded, chr(10)), ''), chr(10), ' ')) AS nb,
+          |  string_split(replace(COALESCE(array_to_string(ded, chr(10)), ''), chr(10), ' '), ' ') AS gws FROM dd),
+          |n AS (SELECT i FROM generate_series(1, 4096) AS sq(i)),
+          |g2 AS (SELECT doc_id, gws[i] || ' ' || gws[i+1] AS gm FROM gt JOIN n ON n.i <= len(gws) - 1),
+          |g3 AS (SELECT doc_id, gws[i] || ' ' || gws[i+1] || ' ' || gws[i+2] AS gm FROM gt JOIN n ON n.i <= len(gws) - 2),
+          |c2 AS (SELECT doc_id, gm, count(*) AS c FROM g2 GROUP BY 1, 2),
+          |c3 AS (SELECT doc_id, gm, count(*) AS c FROM g3 GROUP BY 1, 2),
+          |t2 AS (SELECT doc_id, CASE WHEN c >= 2 THEN c * strlen(gm) ELSE 0 END AS topc,
+          |  row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gm ASC) AS rn FROM c2),
+          |d3 AS (SELECT doc_id, COALESCE(SUM(CASE WHEN c >= 2 THEN c * strlen(gm) END), 0) AS dupc
+          |  FROM c3 GROUP BY 1)
+          |SELECT gt.doc_id, gt.text FROM gt
+          |  LEFT JOIN t2 ON t2.doc_id = gt.doc_id AND t2.rn = 1
+          |  LEFT JOIN d3 ON d3.doc_id = gt.doc_id
+          |  WHERE COALESCE(t2.topc, 0) * 10000 <= 2000 * gt.nb
+          |    AND COALESCE(d3.dupc, 0) * 10000 <= 2000 * gt.nb"""
+          .stripMargin.replace("\n", " "),
       "q_vocab" ->
         """WITH w AS (SELECT unnest(string_split(COALESCE(text, ''), ' ')) AS word
           |    FROM documents),
