@@ -1369,6 +1369,22 @@ object SparkEntry {
       Dedup.ngramDecontaminatedCorpus(corpus, tests, n = 13)
         .select(col("doc_id"), col("text"))
     }),
+    // cross-doc duplicate-13-gram stats (the RefinedWeb "duplicate
+    // n-gram fraction" signal): natural byte-identical twins make every
+    // gram of a twinned doc cross-doc, and a planted 15-md5-word
+    // boilerplate suffix on doc_id%7==0 docs adds exactly 3 shared
+    // grams per planted doc (only grams fully inside the suffix repeat
+    // — straddling grams carry doc-specific prefixes), so the signal
+    // takes fractional values, not just 0/all. 100 natural words + 15
+    // suffix = 115 <= the oracle's generate_series(0, 102) bound.
+    "q_dup_gram_stats" -> ((s, dir) => {
+      val bp = concat_ws(" ", (1 to 15).map(k => md5(lit("bp#" + k))): _*)
+      val corpus = guardMaxWords(docs(s, dir), "text", 100)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" "), bp))
+            .otherwise(col("text")).as("text"))
+      Dedup.crossDocDupGrams(corpus, n = 13)
+    }),
     // SPLIT self-decontamination: after assignSplit carves train/val/
     // test from one corpus, drop every TRAIN doc sharing a 13-gram with
     // any held-out (val/test) doc — the hygiene step that makes a
@@ -2868,6 +2884,27 @@ object SparkEntry {
           |SELECT d.doc_id, d.text FROM documents d
           |  LEFT JOIN flagged f ON d.doc_id = f.doc_id
           |  WHERE f.doc_id IS NULL""".stripMargin.replace("\n", " "),
+      // full 13-gram replay of the planted-suffix construction: a gram
+      // is cross-doc iff its occurrences span two doc_ids (min<>max);
+      // per-doc totals and dup counts restored LEFT so gramless docs
+      // report (0, 0)
+      "q_dup_gram_stats" -> {
+        val bp = (1 to 15).map(k => s"md5('bp#$k')").mkString(" || ' ' || ")
+        s"""WITH base AS (SELECT doc_id,
+           |    CASE WHEN doc_id % 7 = 0 THEN text || ' ' || $bp
+           |         ELSE text END AS text FROM documents),
+           |w AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS ws FROM base),
+           |gr AS (SELECT doc_id, array_to_string(ws[s.i+1 : s.i+13], ' ') AS g
+           |  FROM w JOIN generate_series(0, 102) AS s(i) ON s.i <= len(ws) - 13),
+           |x AS (SELECT g FROM gr GROUP BY g HAVING min(doc_id) <> max(doc_id)),
+           |t AS (SELECT doc_id, count(*) AS n_grams FROM gr GROUP BY doc_id),
+           |d AS (SELECT gr.doc_id, count(*) AS n_dup_grams FROM gr
+           |  JOIN x ON gr.g = x.g GROUP BY gr.doc_id)
+           |SELECT b.doc_id, CAST(COALESCE(t.n_grams, 0) AS BIGINT) AS n_grams,
+           |  CAST(COALESCE(d.n_dup_grams, 0) AS BIGINT) AS n_dup_grams
+           |FROM base b LEFT JOIN t ON b.doc_id = t.doc_id
+           |  LEFT JOIN d ON b.doc_id = d.doc_id""".stripMargin.replace("\n", " ")
+      },
       // the q_split_assign CASE + the 13-gram machinery: held-out grams
       // from val/test docs, train docs flagged on any shared gram
       "q_split_decontam" ->

@@ -961,6 +961,57 @@ object Dedup {
     corpus.join(ngramContamination(corpus, testSet, n).select(col("doc_id")),
       Seq("doc_id"), "left_anti")
 
+  /** Per-document CROSS-document duplication signal: for each doc, how
+    * many of its word-n-gram positions carry a gram that also occurs in
+    * at least one OTHER document (the RefinedWeb/MassiveText
+    * "duplicate n-gram fraction" quality feature, cross-doc flavor —
+    * WITHIN-doc repetition is [[graft.spark.Filtering]]'s Gopher stats'
+    * domain, and a gram repeated only inside one doc is deliberately
+    * NOT counted here). Returns (doc_id, n_grams, n_dup_grams); docs
+    * with fewer than n words have no grams and report (0, 0) rather
+    * than disappearing. The caller derives the fraction — integers
+    * only here so the result hashes exactly cross-engine.
+    *
+    * Scale shape: grams are md5-hashed scan-side (gram text never
+    * crosses an exchange — the [[ngramContamination]] transport). A
+    * gram is cross-doc iff min(doc_id) != max(doc_id) over its
+    * occurrences — ONE hash aggregate keyed on the gram hash with
+    * map-side partial min/max (never a countDistinct, whose partials
+    * are unbounded sets). Flagged hashes then semi-join back to the
+    * position table — hash-partitioned on the gram hash, both sides
+    * (hash, id) pairs only — and one partial-aggregating count per
+    * doc_id closes it. Two exchanges of fixed-width rows total,
+    * corpus-sized but never wider than (16-byte hash, long).
+    */
+  def crossDocDupGrams(corpus: DataFrame, n: Int = 13,
+                       textCol: String = "text"): DataFrame = {
+    require(n >= 2, s"gram size must be >= 2, got $n")
+    val ws = col("ws")
+    val starts = when(size(ws) >= n, sequence(lit(1), size(ws) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    val positions = corpus
+      .select(col("doc_id"), split(coalesce(col(textCol), lit("")), " ").as("ws"))
+      .select(col("doc_id"),
+        explode(transform(starts,
+          i => md5(array_join(slice(ws, i, lit(n)), " ")))).as("h"))
+    val crossDoc = positions
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("h"))
+    val perDoc = positions
+      .join(crossDoc, Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_grams"))
+    val totals = positions
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    corpus.select(col("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"))
+  }
+
   /** Corpus-wide PARAGRAPH-level exact dedup (the MassiveText /
     * RefinedWeb "remove duplicated paragraphs across documents" stage —
     * doc-level dedup misses boilerplate that repeats INSIDE otherwise

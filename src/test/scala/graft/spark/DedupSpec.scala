@@ -647,6 +647,27 @@ class DedupSpec extends SparkTestBase {
     assert(kept == (0L until 60L).filterNot(_ % 10 == 0).toSet)
   }
 
+  test("crossDocDupGrams: positional cross-doc counts; within-doc repeats and short/null docs excluded") {
+    val corpus = Seq(
+      (1L, "a b c d e"),          // shares "a b c" with doc 2
+      (2L, "x y a b c"),
+      (3L, "p q r p q r p q"),    // 6 grams; "p q r" repeats WITHIN the
+                                  // doc at 2 positions — cross-doc only
+                                  // via doc 6, the rest stay unflagged
+      (4L, "m n"),                // < n words: no grams
+      (5L, null.asInstanceOf[String]),
+      (6L, "p q r z z")
+    ).toDF("doc_id", "text")
+    val got = Dedup.crossDocDupGrams(corpus, n = 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map(
+      1L -> (3L, 1L), 2L -> (3L, 1L),
+      // both "p q r" POSITIONS in doc 3 count once doc 6 shares the gram
+      3L -> (6L, 2L),
+      4L -> (0L, 0L), 5L -> (0L, 0L),
+      6L -> (3L, 1L)), s"got $got")
+  }
+
   test("semanticDedupCorpus: byte-identical and scaled-sibling cliques collapse to the base vec") {
     val base = emb.select(col("vec_id"), col("embedding"))
     def scaled(k: Float, off: Long) = base.select(
