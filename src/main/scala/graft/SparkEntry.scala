@@ -97,6 +97,43 @@ object SparkEntry {
       lit(s"oracle generate_series bound exceeded: $textCol > $maxWords words — " +
         "widen the oracle's series and this guard together")).isNull)
 
+  /** Merge budget for the q_bpe_* queries (both the Spark call and the
+    * unrolled oracle below derive from this one constant).
+    */
+  private val bpeMerges = 12
+
+  /** Unrolled DuckDB replay of [[graft.spark.Bpe.learn]]: s0 is the
+    * initial bar-wrapped segmentation of the word-type table; each
+    * iteration i extracts adjacent symbol pairs laterally (p_i), picks
+    * the (count desc, l, r) argmax (b_i — binary string order, same as
+    * Spark's), and applies it with a literal `replace` (s_i), which in
+    * both engines scans left-to-right without re-matching inside a
+    * replacement — classic BPE merge order. MATERIALIZED is load-bearing:
+    * s_{i-1} is referenced twice per iteration (pairs + replay), and
+    * inlined CTEs would re-evaluate the whole chain per reference
+    * (measured: 2^12 blowup hangs DuckDB; materialized it's ~0.1 s).
+    */
+  private val bpeOracleChain: String = {
+    val sb = new StringBuilder
+    sb ++= "WITH w AS (SELECT unnest(string_split(COALESCE(text,''),' ')) AS word" +
+      " FROM documents), s0 AS MATERIALIZED (SELECT word," +
+      " CAST(count(*) AS BIGINT) AS cnt," +
+      " rtrim(regexp_replace(word, '(.)', '|\\1| ', 'g')) AS seg" +
+      " FROM w WHERE word <> '' GROUP BY word)"
+    for (i <- 1 to bpeMerges) {
+      sb ++= s", p$i AS (SELECT s.cnt, s.ss[j] AS l, s.ss[j+1] AS r" +
+        s" FROM (SELECT cnt, string_split(seg,' ') AS ss FROM s${i - 1}) s," +
+        " UNNEST(generate_series(1, len(s.ss)-1)) AS g(j))"
+      sb ++= s", b$i AS MATERIALIZED (SELECT l, r, CAST(sum(cnt) AS BIGINT) AS c" +
+        s" FROM p$i GROUP BY 1, 2 ORDER BY c DESC, l, r LIMIT 1)"
+      sb ++= s", s$i AS MATERIALIZED (SELECT s.word, s.cnt," +
+        " replace(s.seg, b.l || ' ' || b.r," +
+        " left(b.l, strlen(b.l)-1) || substr(b.r, 2)) AS seg" +
+        s" FROM s${i - 1} s CROSS JOIN b$i b)"
+    }
+    sb.result()
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * (The find_links.d workload: parse every turn, emit hrefs in document
     * order — SURVEY.md §2.3.)
@@ -1127,6 +1164,22 @@ object SparkEntry {
     "q_oov" -> ((s, dir) =>
       graft.spark.Vocab.oovStats(docs(s, dir),
         graft.spark.Vocab.topK(docs(s, dir), 16))),
+    // BPE tokenizer training (Sennrich 2016): 12 merge rules learned
+    // from exact corpus pair frequencies, ties to the lexicographically
+    // smaller pair. The bar-wrapped segmentation makes each merge ONE
+    // literal replace that replays verbatim in DuckDB, so the whole
+    // training loop is exactly oracle-checked (12 covers both
+    // single-char and compound merges on this corpus, e.g. p+ar)
+    "q_bpe_merges" -> ((s, dir) => graft.spark.Bpe.learn(docs(s, dir), bpeMerges)),
+    // apply the learned merges: per-doc (n_words, n_tokens) — the
+    // token-budget numbers chunk/pack sizing consumes. The merge table
+    // is a driver artifact (like the IVF centroids); encode itself is
+    // one shuffle-free projection
+    "q_bpe_encode" -> ((s, dir) => {
+      val m = graft.spark.Bpe.learn(docs(s, dir), bpeMerges)
+        .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.spark.Bpe.encode(docs(s, dir), m)
+    }),
     // deterministic Bernoulli sampling at 19661/65536 ~ 30%: the 4-hex
     // md5 prefix comparison replays verbatim in ANSI SQL
     "q_hash_sample" -> ((s, dir) =>
@@ -2666,6 +2719,23 @@ object SparkEntry {
           |  CAST(COALESCE(st.n_oov, 0) AS BIGINT) AS n_oov
           |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id"""
           .stripMargin.replace("\n", " "),
+      "q_bpe_merges" -> (bpeOracleChain + ", m AS (" +
+        (1 to bpeMerges).map(i =>
+          s"SELECT CAST($i AS INT) AS iter, substr(l,2,strlen(l)-2) AS l_sym," +
+            s" substr(r,2,strlen(r)-2) AS r_sym," +
+            s" substr(l,2,strlen(l)-2)||substr(r,2,strlen(r)-2) AS merged," +
+            s" c AS cnt FROM b$i").mkString(" UNION ALL ") +
+        ") SELECT iter, l_sym, r_sym, merged, cnt FROM m"),
+      "q_bpe_encode" -> (bpeOracleChain +
+        ", wd AS (SELECT doc_id, unnest(string_split(COALESCE(text,''),' ')) AS word" +
+        " FROM documents)" +
+        ", wf AS (SELECT doc_id, word FROM wd WHERE word <> '')" +
+        ", enc AS (SELECT wf.doc_id, count(*) AS n_words," +
+        " sum(len(string_split(sk.seg,' '))) AS n_tokens" +
+        s" FROM wf JOIN s$bpeMerges sk ON wf.word = sk.word GROUP BY 1)" +
+        " SELECT d.doc_id, CAST(COALESCE(enc.n_words,0) AS BIGINT) AS n_words," +
+        " CAST(COALESCE(enc.n_tokens,0) AS BIGINT) AS n_tokens" +
+        " FROM documents d LEFT JOIN enc ON d.doc_id = enc.doc_id"),
       // 19661 = 0x4ccd; the 4-hex md5 prefix comparison is engine-neutral
       "q_hash_sample" ->
         """SELECT doc_id FROM documents

@@ -1,0 +1,84 @@
+package graft.spark
+
+import org.apache.spark.sql.functions._
+
+/** BPE trainer/encoder: hand-derived merge sequences on tiny corpora
+  * (counts, within-word merge order, deterministic tie-break), encode
+  * arithmetic, the fail-loud contracts (pair exhaustion, delimiter
+  * collision), and the no-pinned-blocks hygiene of learn().
+  */
+class BpeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def mkDocs(texts: Seq[String]) =
+    spark.createDataset(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+      .toDF("doc_id", "text")
+
+  test("learn: exact merge sequence, compound merges, pair counts") {
+    // types: aaab cnt=2 ("|a| |a| |a| |b|"), ab cnt=1 ("|a| |b|")
+    // iter 1: (a,a)=4 [two per aaab], (a,b)=3          -> merge a+a @4
+    //   aaab -> "|aa| |a| |b|"  (left-to-right: no re-match inside "|aa|")
+    // iter 2: (aa,a)=2, (a,b)=3                        -> merge a+b @3
+    // iter 3: (aa,ab)=2                                -> merge aa+ab @2
+    val docs = mkDocs(Seq("aaab ab", "aaab"))
+    val m = Bpe.learn(docs, 3)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1)
+    assert(m.toSeq == Seq(
+      (1, "a", "a", "aa", 4L),
+      (2, "a", "b", "ab", 3L),
+      (3, "aa", "ab", "aaab", 2L)))
+  }
+
+  test("learn: count ties break on (l, r) binary order") {
+    // (a,b)=1 and (c,d)=1 tie; '|a|' < '|c|' -> a+b wins
+    val m = Bpe.learn(mkDocs(Seq("ab cd")), 1)
+      .as[(Int, String, String, String, Long)].collect()
+    assert(m.toSeq == Seq((1, "a", "b", "ab", 1L)))
+  }
+
+  test("learn: pair-supply exhaustion fails loudly; leaves no pinned blocks") {
+    // other suites share this session and may pin their own RDDs —
+    // assert learn() adds none, not that the session is globally clean
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val e = intercept[Exception](Bpe.learn(mkDocs(Seq("ab")), 2))
+    assert(e.getMessage.contains("pair supply exhausted"), e.getMessage)
+    // persist hygiene: the type table must be unpersisted even on the
+    // failure path (and after a successful learn)
+    Bpe.learn(mkDocs(Seq("aaab ab")), 1).count()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"learn() leaked persisted RDDs: $leaked")
+  }
+
+  test("learn/encode: '|' in a corpus word fails loudly, never corrupts") {
+    val bad = mkDocs(Seq("ok a|b"))
+    val e1 = intercept[Exception](Bpe.learn(bad, 1).count())
+    assert(e1.getMessage.contains("delimiter"), e1.getMessage)
+    val e2 = intercept[Exception](Bpe.encode(bad, Seq(("a", "b"))).count())
+    assert(e2.getMessage.contains("delimiter"), e2.getMessage)
+  }
+
+  test("encode: token counts under 0..K merges; null/empty docs -> (0,0)") {
+    val docs = mkDocs(Seq("aaab ab", "aaab", "")).unionByName(
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(9L, null: String))),
+        mkDocs(Seq("z")).schema))
+    // no merges: every char a token
+    val e0 = Bpe.encode(docs, Seq.empty)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(e0.toSeq == Seq((0L, 2L, 6L), (1L, 1L, 4L), (2L, 0L, 0L), (9L, 0L, 0L)))
+    // one merge (a,a): aaab -> aa|a|b = 3 tokens, ab -> 2
+    val e1 = Bpe.encode(docs, Seq(("a", "a")))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(e1.toSeq == Seq((0L, 2L, 5L), (1L, 1L, 3L), (2L, 0L, 0L), (9L, 0L, 0L)))
+    // the full learned sequence fuses both words to single tokens
+    val e3 = Bpe.encode(docs, Seq(("a", "a"), ("a", "b"), ("aa", "ab")))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(e3.toSeq == Seq((0L, 2L, 2L), (1L, 1L, 1L), (2L, 0L, 0L), (9L, 0L, 0L)))
+  }
+
+  test("encode plans shuffle-free (merges are plan literals)") {
+    val enc = Bpe.encode(mkDocs(Seq("aaab ab")), Seq(("a", "a"), ("a", "b")))
+    val plan = enc.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
