@@ -143,10 +143,10 @@ object Filtering {
     * must pass EVERY bucket: f"%04x" would give "10000", which sorts
     * BELOW "ffff" as a string — use "g" (> every hex digit) instead.
     */
-  private def thresholdHex(keepOf65536: Int): String =
+  private[spark] def thresholdHex(keepOf65536: Int): String =
     if (keepOf65536 >= 65536) "g" else f"$keepOf65536%04x"
 
-  private def hashBucket(keyCol: Column, salt: String): Column = {
+  private[spark] def hashBucket(keyCol: Column, salt: String): Column = {
     // a NULL key hashes to a NULL bucket, and every consumer then
     // misbehaves SILENTLY: hashSample's `<` filter evaluates to null and
     // drops the row with no trace, hashSampleStratified likewise, and
