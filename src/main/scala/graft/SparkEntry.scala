@@ -115,7 +115,9 @@ object SparkEntry {
     */
   private val bpeOracleChain: String = {
     val sb = new StringBuilder
-    sb ++= "WITH w AS (SELECT unnest(string_split(COALESCE(text,''),' ')) AS word" +
+    // no leading WITH: q_packed_bpe splices this chain into a WITH
+    // RECURSIVE, the others into a plain WITH
+    sb ++= "w AS (SELECT unnest(string_split(COALESCE(text,''),' ')) AS word" +
       " FROM documents), s0 AS MATERIALIZED (SELECT word," +
       " CAST(count(*) AS BIGINT) AS cnt," +
       " rtrim(regexp_replace(word, '(.)', '|\\1| ', 'g')) AS seg" +
@@ -133,6 +135,32 @@ object SparkEntry {
     }
     sb.result()
   }
+
+  /** Shared DuckDB replay of [[graft.spark.Dsir]] model training +
+    * scoring (target = lang='en', oovBits = 20): `w` = filtered word
+    * lists, `f` = type-salted hashed unigram+bigram buckets (the
+    * bigram series caps at 99 — guardMaxWords(100) on the Spark side),
+    * `mdl` = bit-bucket log ratios for target-seen buckets, `sc` =
+    * per-doc feature count and summed bits. The q_dsir / q_dsir_sample
+    * oracles append their projection/filter.
+    */
+  private val DsirScoreSql: String =
+    """WITH w AS (SELECT doc_id, lang,
+      |    list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS ws
+      |  FROM documents),
+      |f AS (SELECT doc_id, lang, substring(md5('u:' || ws[s.i]), 1, 4) AS bucket
+      |    FROM w JOIN generate_series(1, 100) AS s(i) ON s.i <= len(ws)
+      |  UNION ALL
+      |  SELECT doc_id, lang, substring(md5('b:' || ws[s.i] || ' ' || ws[s.i+1]), 1, 4)
+      |    FROM w JOIN generate_series(1, 99) AS s(i) ON s.i <= len(ws) - 1),
+      |mdl AS (SELECT bucket,
+      |    CAST(floor(log2(count(*) FILTER (lang = 'en'))) -
+      |         floor(log2(count(*))) AS BIGINT) AS bits
+      |  FROM f GROUP BY bucket HAVING count(*) FILTER (lang = 'en') >= 1),
+      |sc AS (SELECT f.doc_id, count(*) AS n_feats,
+      |    sum(COALESCE(mdl.bits, -20)) AS score_bits
+      |  FROM f LEFT JOIN mdl USING (bucket) GROUP BY f.doc_id)
+      |""".stripMargin.replace("\n", " ")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * (The find_links.d workload: parse every turn, emit hrefs in document
@@ -1179,6 +1207,47 @@ object SparkEntry {
       val m = graft.spark.Bpe.learn(docs(s, dir), bpeMerges)
         .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
       graft.spark.Bpe.encode(docs(s, dir), m)
+    }),
+    // tokenizer-aware packing: the q_packed walk re-weighted by LEARNED
+    // BPE token counts instead of whitespace counts — the budget a real
+    // trainer packs by. Chunk layout unchanged (16/4 words); only the
+    // packing weight moves. Capacity 112 exercises variety at the
+    // measured chunk-size distribution (12-72 BPE tokens, mean 52):
+    // some pairs co-pack, large chunks ride alone
+    "q_packed_bpe" -> ((s, dir) => {
+      val m = graft.spark.Bpe.learn(docs(s, dir), bpeMerges)
+        .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+      val chunks = Chunking.chunk(guardMaxWords(docs(s, dir), "text", 772),
+        maxTokens = 16, overlap = 4)
+        .withColumn("n_tokens", graft.spark.Bpe.tokenCount(col("chunk_text"), m))
+      Packing.packNextFit(chunks, capacity = 112, shard = col("doc_id"))
+        .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+          col("seq_idx"), col("seq_pos"))
+    }),
+    // DSIR importance scoring (Xie 2023) against the lang='en' target
+    // slice: hashed unigram+bigram buckets, bit-bucket-quantized log
+    // ratios (floor-log2, engine-exact), OOV-bucket penalty 20 bits.
+    // minCentibits=-110 sits inside the measured mean-score range
+    // (en -106, others -112..-115 cb/feature at sf0.01) so keep is a
+    // non-trivial split. guardMaxWords: the oracle's bigram explode is
+    // capped at generate_series(1, 99) — 100 words max, fail-loud
+    "q_dsir" -> ((s, dir) => {
+      val d = guardMaxWords(docs(s, dir), "text", 100)
+      graft.spark.Dsir.score(d,
+        graft.spark.Dsir.featureModel(d, col("lang") === "en"),
+        minCentibits = -110)
+    }),
+    // the resampling step: md5-coin Bernoulli with mean-score-banded
+    // keep rates (full / 50% / 25% / 12.5%) — quantized importance
+    // weights; at sf0.01 this enriches the en share from 44% to 65%
+    "q_dsir_sample" -> ((s, dir) => {
+      val d = guardMaxWords(docs(s, dir), "text", 100)
+      val scored = graft.spark.Dsir.score(d,
+        graft.spark.Dsir.featureModel(d, col("lang") === "en"),
+        minCentibits = -110)
+      graft.spark.Dsir.resample(scored,
+        Seq(-105 -> 65536, -110 -> 32768, -115 -> 16384), floorRate = 8192)
+        .select(col("doc_id"))
     }),
     // deterministic Bernoulli sampling at 19661/65536 ~ 30%: the 4-hex
     // md5 prefix comparison replays verbatim in ANSI SQL
@@ -2719,14 +2788,14 @@ object SparkEntry {
           |  CAST(COALESCE(st.n_oov, 0) AS BIGINT) AS n_oov
           |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id"""
           .stripMargin.replace("\n", " "),
-      "q_bpe_merges" -> (bpeOracleChain + ", m AS (" +
+      "q_bpe_merges" -> ("WITH " + bpeOracleChain + ", m AS (" +
         (1 to bpeMerges).map(i =>
           s"SELECT CAST($i AS INT) AS iter, substr(l,2,strlen(l)-2) AS l_sym," +
             s" substr(r,2,strlen(r)-2) AS r_sym," +
             s" substr(l,2,strlen(l)-2)||substr(r,2,strlen(r)-2) AS merged," +
             s" c AS cnt FROM b$i").mkString(" UNION ALL ") +
         ") SELECT iter, l_sym, r_sym, merged, cnt FROM m"),
-      "q_bpe_encode" -> (bpeOracleChain +
+      "q_bpe_encode" -> ("WITH " + bpeOracleChain +
         ", wd AS (SELECT doc_id, unnest(string_split(COALESCE(text,''),' ')) AS word" +
         " FROM documents)" +
         ", wf AS (SELECT doc_id, word FROM wd WHERE word <> '')" +
@@ -2736,6 +2805,54 @@ object SparkEntry {
         " SELECT d.doc_id, CAST(COALESCE(enc.n_words,0) AS BIGINT) AS n_words," +
         " CAST(COALESCE(enc.n_tokens,0) AS BIGINT) AS n_tokens" +
         " FROM documents d LEFT JOIN enc ON d.doc_id = enc.doc_id"),
+      // the q_packed recursive walk with the chunk weight re-derived
+      // through the BPE chain: chunk words re-sliced, joined to the
+      // final type segmentation s12, token counts summed per chunk.
+      // The join to s12 is inner: every chunk word is a corpus word by
+      // construction (same table, same split)
+      "q_packed_bpe" -> ("WITH RECURSIVE " + bpeOracleChain + s""",
+          |dw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |dc AS (SELECT doc_id, ws,
+          |  CAST(ceil(greatest(len(ws) - 4, 1) / 12.0) AS INT) AS nch FROM dw),
+          |dch AS (SELECT doc_id, CAST(s.i AS INT) AS chunk_idx,
+          |    ws[s.i*12+1 : s.i*12+16] AS cw
+          |  FROM dc JOIN generate_series(0, 63) AS s(i) ON s.i < dc.nch),
+          |dtok AS (SELECT d.doc_id, d.chunk_idx,
+          |    CAST(sum(len(string_split(sk.seg, ' '))) AS INT) AS tok
+          |  FROM dch d, UNNEST(d.cw) AS u(word)
+          |  JOIN s$bpeMerges sk ON sk.word = u.word
+          |  GROUP BY d.doc_id, d.chunk_idx),
+          |walk AS (
+          |  SELECT doc_id, chunk_idx, tok, CAST(0 AS BIGINT) AS seq_idx,
+          |    0 AS seq_pos, tok AS cum
+          |  FROM dtok WHERE chunk_idx = 0
+          |  UNION ALL
+          |  SELECT d.doc_id, d.chunk_idx, d.tok,
+          |    CASE WHEN walk.cum + d.tok > 112 THEN walk.seq_idx + 1 ELSE walk.seq_idx END,
+          |    CASE WHEN walk.cum + d.tok > 112 THEN 0 ELSE walk.seq_pos + 1 END,
+          |    CASE WHEN walk.cum + d.tok > 112 THEN d.tok ELSE walk.cum + d.tok END
+          |  FROM walk JOIN dtok d ON d.doc_id = walk.doc_id
+          |    AND d.chunk_idx = walk.chunk_idx + 1)
+          |SELECT doc_id, chunk_idx, tok AS n_tokens, seq_idx,
+          |  CAST(seq_pos AS INT) AS seq_pos FROM walk"""
+          .stripMargin.replace("\n", " ")),
+      "q_dsir" -> (DsirScoreSql +
+        """SELECT w.doc_id, CAST(COALESCE(sc.n_feats, 0) AS BIGINT) AS n_feats,
+          |  CAST(COALESCE(sc.score_bits, 0) AS BIGINT) AS score_bits,
+          |  COALESCE(sc.score_bits, 0) * 100 >= -110 * COALESCE(sc.n_feats, 0) AS keep
+          |FROM w LEFT JOIN sc USING (doc_id)"""
+          .stripMargin.replace("\n", " ")),
+      "q_dsir_sample" -> (DsirScoreSql +
+        """SELECT doc_id FROM (
+          |  SELECT w.doc_id, COALESCE(sc.n_feats, 0) AS n_feats,
+          |    COALESCE(sc.score_bits, 0) AS score_bits
+          |  FROM w LEFT JOIN sc USING (doc_id))
+          |WHERE substring(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 4) <
+          |  CASE WHEN score_bits * 100 >= -105 * n_feats THEN 'g'
+          |       WHEN score_bits * 100 >= -110 * n_feats THEN '8000'
+          |       WHEN score_bits * 100 >= -115 * n_feats THEN '4000'
+          |       ELSE '2000' END"""
+          .stripMargin.replace("\n", " ")),
       // 19661 = 0x4ccd; the 4-hex md5 prefix comparison is engine-neutral
       "q_hash_sample" ->
         """SELECT doc_id FROM documents

@@ -114,6 +114,20 @@ object Bpe {
     } finally types.unpersist()
   }
 
+  /** BPE token count of a text column under `merges` — the column form
+    * of [[encode]], usable on any text (e.g. a chunk's) anywhere a
+    * projection fits. Merges are baked into the plan as literals, so
+    * the count runs at scan speed with no shuffle and no UDF. A text
+    * with no words counts 0.
+    */
+  def tokenCount(textCol: Column, merges: Seq[(String, String)]): Column = {
+    val segFinal = (w: Column) => merges.foldLeft(seg0(w)) {
+      case (c, (l, r)) => replace(c, lit(s"|$l| |$r|"), lit(s"|$l$r|"))
+    }
+    aggregate(wordsOf(textCol), lit(0L),
+      (acc, w) => acc + size(split(segFinal(w), " ")).cast("long"))
+  }
+
   /** Apply learned merges to every word of every doc and report
     * (doc_id, n_words, n_tokens) — the token-budget number a training
     * pipeline feeds into [[Chunking]]/[[Packing]] sizing. `merges` is
@@ -123,15 +137,8 @@ object Bpe {
     * with no words report (0, 0).
     */
   def encode(docs: DataFrame, merges: Seq[(String, String)],
-             textCol: String = "text"): DataFrame = {
-    val segFinal = (w: Column) => merges.foldLeft(seg0(w)) {
-      case (c, (l, r)) => replace(c, lit(s"|$l| |$r|"), lit(s"|$l$r|"))
-    }
-    val ws = wordsOf(col(textCol))
+             textCol: String = "text"): DataFrame =
     docs.select(col("doc_id"),
-      size(ws).cast("long").as("n_words"),
-      aggregate(ws, lit(0L),
-        (acc, w) => acc + size(split(segFinal(w), " ")).cast("long"))
-        .as("n_tokens"))
-  }
+      size(wordsOf(col(textCol))).cast("long").as("n_words"),
+      tokenCount(col(textCol), merges).as("n_tokens"))
 }

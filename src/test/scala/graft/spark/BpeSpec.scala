@@ -76,6 +76,26 @@ class BpeSpec extends SparkTestBase {
     assert(e3.toSeq == Seq((0L, 2L, 2L), (1L, 1L, 1L), (2L, 0L, 0L), (9L, 0L, 0L)))
   }
 
+  test("tokenCount drives packing: next-fit walk over BPE weights") {
+    // chunks at 2/0 word chunking: doc0 -> ["aaab ab", "aaab"]; with
+    // merge (a,a): aaab = 3 tokens, ab = 2 -> chunk weights 5, 3
+    val docs = mkDocs(Seq("aaab ab aaab"))
+    val chunks = Chunking.chunk(docs, maxTokens = 2, overlap = 0)
+      .withColumn("n_tokens", Bpe.tokenCount(col("chunk_text"), Seq(("a", "a"))))
+    assert(chunks.select("chunk_idx", "n_tokens").as[(Int, Long)]
+      .collect().sortBy(_._1).toSeq == Seq((0, 5L), (1, 3L)))
+    // capacity 5: chunk1 overflows -> its own sequence
+    val tight = Packing.packNextFit(chunks, capacity = 5, shard = col("doc_id"))
+      .select("chunk_idx", "seq_idx", "seq_pos").as[(Int, Long, Int)]
+      .collect().sortBy(_._1)
+    assert(tight.toSeq == Seq((0, 0L, 0), (1, 1L, 0)))
+    // capacity 8: both fit one sequence in chunk order
+    val loose = Packing.packNextFit(chunks, capacity = 8, shard = col("doc_id"))
+      .select("chunk_idx", "seq_idx", "seq_pos").as[(Int, Long, Int)]
+      .collect().sortBy(_._1)
+    assert(loose.toSeq == Seq((0, 0L, 0), (1, 0L, 1)))
+  }
+
   test("encode plans shuffle-free (merges are plan literals)") {
     val enc = Bpe.encode(mkDocs(Seq("aaab ab")), Seq(("a", "a"), ("a", "b")))
     val plan = enc.queryExecution.executedPlan.toString
