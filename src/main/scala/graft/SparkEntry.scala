@@ -137,29 +137,31 @@ object SparkEntry {
   }
 
   /** Shared DuckDB replay of [[graft.spark.Dsir]] model training +
-    * scoring (target = lang='en', oovBits = 20): `w` = filtered word
-    * lists, `f` = type-salted hashed unigram+bigram buckets (the
+    * scoring (target = lang='en', oovBits = 20): `vw` = filtered word
+    * lists, `vf` = type-salted hashed unigram+bigram buckets (the
     * bigram series caps at 99 — guardMaxWords(100) on the Spark side),
-    * `mdl` = bit-bucket log ratios for target-seen buckets, `sc` =
+    * `vmdl` = bit-bucket log ratios for target-seen buckets, `vsc` =
     * per-doc feature count and summed bits. The q_dsir / q_dsir_sample
-    * oracles append their projection/filter.
+    * oracles append their projection/filter. No leading WITH:
+    * q_dsir_pipeline splices this chain after the recursive BPE chain
+    * (CTE names are v-prefixed to stay collision-free with it).
     */
   private val DsirScoreSql: String =
-    """WITH w AS (SELECT doc_id, lang,
+    """vw AS (SELECT doc_id, lang,
       |    list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS ws
       |  FROM documents),
-      |f AS (SELECT doc_id, lang, substring(md5('u:' || ws[s.i]), 1, 4) AS bucket
-      |    FROM w JOIN generate_series(1, 100) AS s(i) ON s.i <= len(ws)
+      |vf AS (SELECT doc_id, lang, substring(md5('u:' || ws[s.i]), 1, 4) AS bucket
+      |    FROM vw JOIN generate_series(1, 100) AS s(i) ON s.i <= len(ws)
       |  UNION ALL
       |  SELECT doc_id, lang, substring(md5('b:' || ws[s.i] || ' ' || ws[s.i+1]), 1, 4)
-      |    FROM w JOIN generate_series(1, 99) AS s(i) ON s.i <= len(ws) - 1),
-      |mdl AS (SELECT bucket,
+      |    FROM vw JOIN generate_series(1, 99) AS s(i) ON s.i <= len(ws) - 1),
+      |vmdl AS (SELECT bucket,
       |    CAST(floor(log2(count(*) FILTER (lang = 'en'))) -
       |         floor(log2(count(*))) AS BIGINT) AS bits
-      |  FROM f GROUP BY bucket HAVING count(*) FILTER (lang = 'en') >= 1),
-      |sc AS (SELECT f.doc_id, count(*) AS n_feats,
-      |    sum(COALESCE(mdl.bits, -20)) AS score_bits
-      |  FROM f LEFT JOIN mdl USING (bucket) GROUP BY f.doc_id)
+      |  FROM vf GROUP BY bucket HAVING count(*) FILTER (lang = 'en') >= 1),
+      |vsc AS (SELECT vf.doc_id, count(*) AS n_feats,
+      |    sum(COALESCE(vmdl.bits, -20)) AS score_bits
+      |  FROM vf LEFT JOIN vmdl USING (bucket) GROUP BY vf.doc_id)
       |""".stripMargin.replace("\n", " ")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
@@ -1218,6 +1220,32 @@ object SparkEntry {
       val m = graft.spark.Bpe.learn(docs(s, dir), bpeMerges)
         .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
       val chunks = Chunking.chunk(guardMaxWords(docs(s, dir), "text", 772),
+        maxTokens = 16, overlap = 4)
+        .withColumn("n_tokens", graft.spark.Bpe.tokenCount(col("chunk_text"), m))
+      Packing.packNextFit(chunks, capacity = 112, shard = col("doc_id"))
+        .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+          col("seq_idx"), col("seq_pos"))
+    }),
+    // the modern-pretraining closing composition: DSIR target-domain
+    // selection -> chunk -> LEARNED-tokenizer token counts -> next-fit
+    // pack, ONE exact oracle end-to-end (the tokenizer is trained on
+    // the FULL corpus before selection — the usual order when the
+    // tokenizer predates the data mix). Scale shape: score+resample =
+    // one broadcast-join pass + (doc_id, longs) exchange, semi-join
+    // back to the corpus scan, chunk+count shuffle-free, ONE packing
+    // exchange
+    "q_dsir_pipeline" -> ((s, dir) => {
+      val d = guardMaxWords(docs(s, dir), "text", 100)
+      val scored = graft.spark.Dsir.score(d,
+        graft.spark.Dsir.featureModel(d, col("lang") === "en"),
+        minCentibits = -110)
+      val sampled = graft.spark.Dsir.resample(scored,
+        Seq(-105 -> 65536, -110 -> 32768, -115 -> 16384), floorRate = 8192)
+        .select(col("doc_id"))
+      val m = graft.spark.Bpe.learn(docs(s, dir), bpeMerges)
+        .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+      val kept = docs(s, dir).join(sampled, Seq("doc_id"), "left_semi")
+      val chunks = Chunking.chunk(guardMaxWords(kept, "text", 772),
         maxTokens = 16, overlap = 4)
         .withColumn("n_tokens", graft.spark.Bpe.tokenCount(col("chunk_text"), m))
       Packing.packNextFit(chunks, capacity = 112, shard = col("doc_id"))
@@ -2836,17 +2864,54 @@ object SparkEntry {
           |SELECT doc_id, chunk_idx, tok AS n_tokens, seq_idx,
           |  CAST(seq_pos AS INT) AS seq_pos FROM walk"""
           .stripMargin.replace("\n", " ")),
-      "q_dsir" -> (DsirScoreSql +
-        """SELECT w.doc_id, CAST(COALESCE(sc.n_feats, 0) AS BIGINT) AS n_feats,
-          |  CAST(COALESCE(sc.score_bits, 0) AS BIGINT) AS score_bits,
-          |  COALESCE(sc.score_bits, 0) * 100 >= -110 * COALESCE(sc.n_feats, 0) AS keep
-          |FROM w LEFT JOIN sc USING (doc_id)"""
+      // the full composition: BPE chain + DSIR chain share one WITH
+      // RECURSIVE; `kp` is the q_dsir_sample keep set, and the
+      // q_packed_bpe walk runs over only those docs
+      "q_dsir_pipeline" -> ("WITH RECURSIVE " + bpeOracleChain + ", " +
+        DsirScoreSql + s""",
+          |kp AS (SELECT vw.doc_id FROM vw LEFT JOIN vsc USING (doc_id)
+          |  WHERE substring(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 4) <
+          |    CASE WHEN COALESCE(vsc.score_bits, 0) * 100 >= -105 * COALESCE(vsc.n_feats, 0) THEN 'g'
+          |         WHEN COALESCE(vsc.score_bits, 0) * 100 >= -110 * COALESCE(vsc.n_feats, 0) THEN '8000'
+          |         WHEN COALESCE(vsc.score_bits, 0) * 100 >= -115 * COALESCE(vsc.n_feats, 0) THEN '4000'
+          |         ELSE '2000' END),
+          |dw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+          |  WHERE doc_id IN (SELECT doc_id FROM kp)),
+          |dc AS (SELECT doc_id, ws,
+          |  CAST(ceil(greatest(len(ws) - 4, 1) / 12.0) AS INT) AS nch FROM dw),
+          |dch AS (SELECT doc_id, CAST(s.i AS INT) AS chunk_idx,
+          |    ws[s.i*12+1 : s.i*12+16] AS cw
+          |  FROM dc JOIN generate_series(0, 63) AS s(i) ON s.i < dc.nch),
+          |dtok AS (SELECT d.doc_id, d.chunk_idx,
+          |    CAST(sum(len(string_split(sk.seg, ' '))) AS INT) AS tok
+          |  FROM dch d, UNNEST(d.cw) AS u(word)
+          |  JOIN s$bpeMerges sk ON sk.word = u.word
+          |  GROUP BY d.doc_id, d.chunk_idx),
+          |walk AS (
+          |  SELECT doc_id, chunk_idx, tok, CAST(0 AS BIGINT) AS seq_idx,
+          |    0 AS seq_pos, tok AS cum
+          |  FROM dtok WHERE chunk_idx = 0
+          |  UNION ALL
+          |  SELECT d.doc_id, d.chunk_idx, d.tok,
+          |    CASE WHEN walk.cum + d.tok > 112 THEN walk.seq_idx + 1 ELSE walk.seq_idx END,
+          |    CASE WHEN walk.cum + d.tok > 112 THEN 0 ELSE walk.seq_pos + 1 END,
+          |    CASE WHEN walk.cum + d.tok > 112 THEN d.tok ELSE walk.cum + d.tok END
+          |  FROM walk JOIN dtok d ON d.doc_id = walk.doc_id
+          |    AND d.chunk_idx = walk.chunk_idx + 1)
+          |SELECT doc_id, chunk_idx, tok AS n_tokens, seq_idx,
+          |  CAST(seq_pos AS INT) AS seq_pos FROM walk"""
           .stripMargin.replace("\n", " ")),
-      "q_dsir_sample" -> (DsirScoreSql +
+      "q_dsir" -> ("WITH " + DsirScoreSql +
+        """SELECT vw.doc_id, CAST(COALESCE(vsc.n_feats, 0) AS BIGINT) AS n_feats,
+          |  CAST(COALESCE(vsc.score_bits, 0) AS BIGINT) AS score_bits,
+          |  COALESCE(vsc.score_bits, 0) * 100 >= -110 * COALESCE(vsc.n_feats, 0) AS keep
+          |FROM vw LEFT JOIN vsc USING (doc_id)"""
+          .stripMargin.replace("\n", " ")),
+      "q_dsir_sample" -> ("WITH " + DsirScoreSql +
         """SELECT doc_id FROM (
-          |  SELECT w.doc_id, COALESCE(sc.n_feats, 0) AS n_feats,
-          |    COALESCE(sc.score_bits, 0) AS score_bits
-          |  FROM w LEFT JOIN sc USING (doc_id))
+          |  SELECT vw.doc_id, COALESCE(vsc.n_feats, 0) AS n_feats,
+          |    COALESCE(vsc.score_bits, 0) AS score_bits
+          |  FROM vw LEFT JOIN vsc USING (doc_id))
           |WHERE substring(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 4) <
           |  CASE WHEN score_bits * 100 >= -105 * n_feats THEN 'g'
           |       WHEN score_bits * 100 >= -110 * n_feats THEN '8000'
