@@ -114,6 +114,99 @@ object Bpe {
     } finally types.unpersist()
   }
 
+  /** The production-budget variant of [[learn]]: ONE distributed word
+    * count, collect the top-`maxTypes` types by (count desc, word asc)
+    * — a TakeOrdered per-partition heap, never a global sort — then
+    * run the classic in-memory merge loop on the driver. For real
+    * merge budgets (K ~ 50k) the K sequential distributed aggregations
+    * of [[learn]] are pure scheduling overhead on a vocabulary-sized
+    * table; here the corpus is still touched exactly once and the loop
+    * costs no cluster time at all.
+    *
+    * Exactness: with `maxTypes` >= the distinct type count this
+    * reproduces [[learn]] MERGE-FOR-MERGE (BpeSpec gates the
+    * equivalence) — pair counting, left-to-right within-word merge
+    * order, and the (count desc, bar-wrapped l asc, r asc) tie-break
+    * all replayed byte-exactly (UTF-8 comparison, same as Spark/DuckDB
+    * binary string order). Truncating the type table changes pair
+    * counts, so a type count above `maxTypes` FAILS LOUDLY unless
+    * `allowTruncation` — the approximation is the budget owner's
+    * explicit opt-in (the dropped tail is exactly the low-frequency
+    * types classic BPE implementations cut first).
+    */
+  def learnLocal(docs: DataFrame, nMerges: Int, maxTypes: Int = 1 << 20,
+                 allowTruncation: Boolean = false,
+                 textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
+    require(maxTypes > 0, s"maxTypes must be positive, got $maxTypes")
+    val counted = docs
+      .select(explode(wordsOf(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    // limit+1 so truncation is detectable without a second count job
+    val top = counted
+      .orderBy(col("cnt").desc, col("word").asc)
+      .limit(maxTypes + 1)
+      .as[(String, Long)].collect()
+    require(allowTruncation || top.length <= maxTypes,
+      s"corpus has more than $maxTypes word types — raise maxTypes or " +
+        "opt into the top-M approximation with allowTruncation = true")
+    val types = top.take(maxTypes)
+    // segmentations as symbol arrays; tie-break compares the
+    // BAR-WRAPPED symbols as UTF-8 bytes (== Spark/DuckDB binary order)
+    def wrap(s: String) = "|" + s + "|"
+    def leBytes(a: String, b: String): Boolean = {
+      val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        if (x(i) != y(i)) return (x(i) & 0xff) < (y(i) & 0xff)
+        i += 1
+      }
+      x.length <= y.length
+    }
+    var segs: Array[(Array[String], Long)] =
+      types.map { case (w, c) => (w.map(_.toString).toArray, c) }
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (it <- 1 to nMerges) {
+      val pairs = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      segs.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          pairs.update(k, pairs.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      require(pairs.nonEmpty,
+        s"BPE pair supply exhausted at merge $it of $nMerges — every " +
+          "word is a single symbol; lower nMerges")
+      val ((bl, br), bc) = pairs.reduceLeft { (a, b) =>
+        val ((al, ar), ac) = a; val ((bl2, br2), bc2) = b
+        if (ac != bc2) { if (ac > bc2) a else b }
+        else if (wrap(al) != wrap(bl2)) { if (leBytes(wrap(al), wrap(bl2))) a else b }
+        else { if (leBytes(wrap(ar), wrap(br2))) a else b }
+      }
+      merges += ((it, bl, br, bl + br, bc))
+      val merged = bl + br
+      segs = segs.map { case (syms, c) =>
+        if (syms.length < 2) (syms, c)
+        else {
+          val out = Array.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == bl && syms(i + 1) == br) {
+              out += merged; i += 2 // left-to-right, no re-match inside
+            } else { out += syms(i); i += 1 }
+          }
+          (out.result(), c)
+        }
+      }
+    }
+    merges.result().toDF("iter", "l_sym", "r_sym", "merged", "cnt")
+  }
+
   /** BPE token count of a text column under `merges` — the column form
     * of [[encode]], usable on any text (e.g. a chunk's) anywhere a
     * projection fits. Merges are baked into the plan as literals, so

@@ -76,6 +76,23 @@ class BpeSpec extends SparkTestBase {
     assert(e3.toSeq == Seq((0L, 2L, 2L), (1L, 1L, 1L), (2L, 0L, 0L), (9L, 0L, 0L)))
   }
 
+  test("learnLocal reproduces learn merge-for-merge; truncation is opt-in") {
+    val docs = mkDocs(Seq("aaab ab aaab cd cd", "ab widest widest lower"))
+    val dist = Bpe.learn(docs, 6)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1).toSeq
+    val local = Bpe.learnLocal(docs, 6)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(local == dist, s"\nlocal: $local\ndist:  $dist")
+    // more types than maxTypes: silent truncation would change pair
+    // counts, so it must be the caller's explicit opt-in
+    val e = intercept[IllegalArgumentException](
+      Bpe.learnLocal(docs, 1, maxTypes = 2))
+    assert(e.getMessage.contains("allowTruncation"), e.getMessage)
+    // opted in: learns from the (count desc, word) top-2 types only
+    assert(Bpe.learnLocal(docs, 1, maxTypes = 2, allowTruncation = true)
+      .count() == 1)
+  }
+
   test("tokenCount drives packing: next-fit walk over BPE weights") {
     // chunks at 2/0 word chunking: doc0 -> ["aaab ab", "aaab"]; with
     // merge (a,a): aaab = 3 tokens, ab = 2 -> chunk weights 5, 3
