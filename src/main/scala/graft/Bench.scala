@@ -121,9 +121,12 @@ object Bench {
     * loss-mask spans, packed sample-boundary spans, and the loss mask
     * carried end-to-end into packed coordinates, exact-substring span
     * dedup, integer-quantized LM surprisal scoring, and the v2
-    * curation composition (all eight stages) — per-query numbers stay
-    * comparable across rounds; the `total` line covers 36 queries from
-    * round 5 on (23 in round 4, 18 in round 3, 16 before).
+    * curation composition (all eight stages), then (round-5 tail) DSIR
+    * importance scoring, BPE-weighted packing, and the DSIR -> chunk ->
+    * BPE-count -> pack composition — per-query numbers stay comparable
+    * across rounds; the `total` line covers 45 queries from the round-5
+    * tail on (42 earlier in round 5, 23 in round 4, 18 in round 3, 16
+    * before).
     */
   val headline: Seq[String] = Seq(
     "q_pipeline_extract", "q_pipeline_onepass", "q_pipeline_extractfirst",
@@ -138,7 +141,8 @@ object Bench {
     "q_packed_provenance", "q_loss_mask", "q_packed_spans",
     "q_masked_pipeline", "q_substr_dedup", "q_lm_score",
     "q_curation_pipeline_v2", "q_ngram_decontaminated", "q_semantic_dedup",
-    "q_excised", "q_line_clean", "q_dedup_corpus_best", "q_line_pipeline")
+    "q_excised", "q_line_clean", "q_dedup_corpus_best", "q_line_pipeline",
+    "q_dsir", "q_packed_bpe", "q_dsir_pipeline")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
