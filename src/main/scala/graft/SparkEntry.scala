@@ -709,6 +709,17 @@ object SparkEntry {
         .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
           col("seq_idx"), col("seq_pos"))
     }),
+    // packing-efficiency report over the q_packed assignments: per
+    // shard (= doc here) chunks/sequences/token sums and the padding
+    // waste a trainer pads out — all integers, oracle = the q_packed
+    // walk + two GROUP BYs
+    "q_pack_stats" -> ((s, dir) => {
+      val chunks = Chunking.chunk(guardMaxWords(docs(s, dir), "text", 772),
+        maxTokens = 16, overlap = 4)
+      Packing.packStats(
+        Packing.packNextFit(chunks, capacity = 24, shard = col("doc_id")),
+        capacity = 24)
+    }),
     // the packed sequences MATERIALIZED (the model-ready artifact):
     // member chunk texts joined in seq_pos order, true token sums —
     // exact oracle by extending the q_packed walk with a re-sliced
@@ -2404,6 +2415,30 @@ object SparkEntry {
           |SELECT doc_id, chunk_idx, tok AS n_tokens, seq_idx,
           |  CAST(seq_pos AS INT) AS seq_pos FROM walk"""
           .stripMargin.replace("\n", " "),
+      "q_pack_stats" ->
+        """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |c AS (SELECT doc_id, CAST(ceil(greatest(len(ws) - 4, 1) / 12.0) AS INT) AS nch,
+          |  len(ws) AS n FROM w),
+          |ch AS (SELECT doc_id, CAST(s.i AS INT) AS chunk_idx,
+          |  CAST(least(n - s.i*12, 16) AS INT) AS tok
+          |  FROM c JOIN generate_series(0, 63) AS s(i) ON s.i < c.nch),
+          |walk AS (
+          |  SELECT doc_id, chunk_idx, tok, CAST(0 AS BIGINT) AS seq_idx,
+          |    0 AS seq_pos, tok AS cum
+          |  FROM ch WHERE chunk_idx = 0
+          |  UNION ALL
+          |  SELECT ch.doc_id, ch.chunk_idx, ch.tok,
+          |    CASE WHEN walk.cum + ch.tok > 24 THEN walk.seq_idx + 1 ELSE walk.seq_idx END,
+          |    CASE WHEN walk.cum + ch.tok > 24 THEN 0 ELSE walk.seq_pos + 1 END,
+          |    CASE WHEN walk.cum + ch.tok > 24 THEN ch.tok ELSE walk.cum + ch.tok END
+          |  FROM walk JOIN ch ON ch.doc_id = walk.doc_id AND ch.chunk_idx = walk.chunk_idx + 1),
+          |ps AS (SELECT doc_id, seq_idx, count(*) AS c, sum(tok) AS t
+          |  FROM walk GROUP BY 1, 2)
+          |SELECT doc_id AS shard, CAST(sum(c) AS BIGINT) AS n_chunks,
+          |  CAST(count(*) AS BIGINT) AS n_seqs, CAST(sum(t) AS BIGINT) AS sum_tokens,
+          |  CAST(max(t) AS BIGINT) AS max_seq_tokens,
+          |  CAST(count(*) * 24 - sum(t) AS BIGINT) AS padding_tokens
+          |FROM ps GROUP BY doc_id""".stripMargin.replace("\n", " "),
       "q_packed_sequences" ->
         """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
           |c AS (SELECT doc_id, CAST(ceil(greatest(len(ws) - 4, 1) / 12.0) AS INT) AS nch,

@@ -258,4 +258,32 @@ object Packing {
     affectedSequences(
       assignments.join(docIds.select(col(idCol)).distinct(), Seq(idCol)),
       lit(true), idCol)
+
+  /** Packing-efficiency report over a [[packNextFit]] assignments
+    * table: per shard — chunks packed, sequences opened, true token
+    * sum, the largest single sequence, and `padding_tokens` =
+    * n_seqs * capacity - sum_tokens, the waste a trainer pads out (the
+    * utilization number a training team watches per shard). All
+    * integers, so the report replays exactly in SQL. An oversize
+    * singleton (one chunk above capacity) shows up as max_seq_tokens >
+    * capacity and a NEGATIVE padding contribution — reported raw, not
+    * clamped: hiding overflow would misstate utilization.
+    *
+    * Two map-side-combinable aggregates over (ids, two ints) — per
+    * (shard, seq) sums, then the shard rollup; at scale the input is
+    * the persisted assignments table, so this is a metadata-sized job
+    * regardless of corpus size.
+    */
+  def packStats(assignments: DataFrame, capacity: Int): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    assignments
+      .groupBy(col("shard"), col("seq_idx"))
+      .agg(count(lit(1)).as("c"), sum(col("n_tokens").cast("long")).as("t"))
+      .groupBy(col("shard"))
+      .agg(sum(col("c")).as("n_chunks"), count(lit(1)).as("n_seqs"),
+        sum(col("t")).as("sum_tokens"), max(col("t")).as("max_seq_tokens"))
+      .select(col("shard"), col("n_chunks"), col("n_seqs"),
+        col("sum_tokens"), col("max_seq_tokens"),
+        (col("n_seqs") * capacity - col("sum_tokens")).as("padding_tokens"))
+  }
 }

@@ -263,4 +263,18 @@ class PackingSpec extends SparkTestBase {
       l.contains("Exchange") && !l.contains("Reused")) == 1, plan)
     assert(!plan.contains("Exchange rangepartitioning"), plan) // no global sort
   }
+
+  test("packStats: per-shard utilization, oversize reported raw") {
+    // doc 1: chunks 5, 3 at cap 5 -> two seqs (5 | 3), padding 10-8=2
+    // doc 2: one oversize chunk 7 -> one seq, max 7 > cap, padding -2
+    val df = spark.createDataset(Seq(
+      (1L, 0, "a", 5), (1L, 1, "b", 3), (2L, 0, "c", 7)))
+      .toDF("doc_id", "chunk_idx", "chunk_text", "n_tokens")
+    val st = Packing.packStats(
+      Packing.packNextFit(df, capacity = 5, shard = col("doc_id")), capacity = 5)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(st.toSeq == Seq(
+      (1L, 2L, 2L, 8L, 5L, 2L),
+      (2L, 1L, 1L, 7L, 7L, -2L)), st.toSeq.toString)
+  }
 }
