@@ -120,7 +120,7 @@ object SparkEntry {
     sb ++= "w AS (SELECT unnest(string_split(COALESCE(text,''),' ')) AS word" +
       " FROM documents), s0 AS MATERIALIZED (SELECT word," +
       " CAST(count(*) AS BIGINT) AS cnt," +
-      " rtrim(regexp_replace(word, '(.)', '|\\1| ', 'g')) AS seg" +
+      " rtrim(regexp_replace(word, '(?s)(.)', '|\\1| ', 'g')) AS seg" +
       " FROM w WHERE word <> '' GROUP BY word)"
     for (i <- 1 to bpeMerges) {
       sb ++= s", p$i AS (SELECT s.cnt, s.ss[j] AS l, s.ss[j+1] AS r" +

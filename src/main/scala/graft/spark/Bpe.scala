@@ -46,10 +46,14 @@ import org.apache.spark.sql.functions._
 object Bpe {
 
   /** Initial segmentation of a word: every char bar-wrapped.
-    * `"abc"` -> `"|a| |b| |c|"`.
+    * `"abc"` -> `"|a| |b| |c|"`. (?s) is load-bearing: without DOTALL a
+    * newline inside a word would stay UNWRAPPED and corrupt the
+    * segmentation silently — identically in both engines, so even the
+    * oracle could not catch it. With it, '.' matches any code point in
+    * Java regex and RE2 alike.
     */
   private def seg0(word: Column): Column =
-    rtrim(regexp_replace(word, "(.)", "\\|$1\\| "))
+    rtrim(regexp_replace(word, "(?s)(.)", "\\|$1\\| "))
 
   /** Words of a text column: split on single spaces, empties dropped,
     * fail-loud if a word contains the `|` delimiter (it would corrupt
@@ -166,8 +170,13 @@ object Bpe {
       }
       x.length <= y.length
     }
+    // segment by CODE POINTS, matching seg0's regex '.' (a UTF-16
+    // code-unit split would halve surrogate pairs and diverge from
+    // learn() on non-BMP chars)
     var segs: Array[(Array[String], Long)] =
-      types.map { case (w, c) => (w.map(_.toString).toArray, c) }
+      types.map { case (w, c) =>
+        (w.codePoints().toArray.map(cp => new String(Character.toChars(cp))), c)
+      }
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     for (it <- 1 to nMerges) {
       val pairs = scala.collection.mutable.HashMap.empty[(String, String), Long]

@@ -29,6 +29,23 @@ class BpeSpec extends SparkTestBase {
       (3, "aa", "ab", "aaab", 2L)))
   }
 
+  test("newlines and non-BMP chars segment whole: learn == learnLocal") {
+    // '\n' inside a word must wrap like any char ((?s) — without it the
+    // newline stays unwrapped and corrupts the segmentation silently);
+    // the emoji is a surrogate pair and must stay ONE symbol
+    val docs = mkDocs(Seq("a\nb a\nb", "😀x 😀x 😀x"))
+    val e0 = Bpe.encode(docs, Seq.empty)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(e0.toSeq == Seq((0L, 2L, 6L), (1L, 3L, 6L)), e0.toSeq.toString)
+    val dist = Bpe.learn(docs, 2)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1).toSeq
+    val local = Bpe.learnLocal(docs, 2)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(local == dist, s"\nlocal: $local\ndist:  $dist")
+    // the emoji pair dominates: first merge fuses the 2-char word
+    assert(dist.head._4 == "😀x", dist.toString)
+  }
+
   test("learn: count ties break on (l, r) binary order") {
     // (a,b)=1 and (c,d)=1 tie; '|a|' < '|c|' -> a+b wins
     val m = Bpe.learn(mkDocs(Seq("ab cd")), 1)
