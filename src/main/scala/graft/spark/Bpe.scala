@@ -144,7 +144,9 @@ object Bpe {
     val spark = docs.sparkSession
     import spark.implicits._
     require(nMerges > 0, s"nMerges must be positive, got $nMerges")
-    require(maxTypes > 0, s"maxTypes must be positive, got $maxTypes")
+    // < MaxValue: the truncation probe below takes limit(maxTypes + 1)
+    require(maxTypes > 0 && maxTypes < Int.MaxValue,
+      s"maxTypes out of range: $maxTypes")
     val counted = docs
       .select(explode(wordsOf(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
