@@ -30,10 +30,11 @@ import org.apache.spark.sql.functions._
   *    tokenizer model is a driver artifact by definition.
   *  - merges are inherently sequential — no parallelism exists across
   *    iterations in ANY BPE trainer. For production merge budgets
-  *    (~50k), collect the mass-covering top-M word types to the driver
-  *    after the distributed count and run the classic in-memory loop;
-  *    this bounded distributed variant is the exact, plan-auditable
-  *    shape for auditable merge budgets.
+  *    (~50k), [[learnLocal]] collects the mass-covering top-M word
+  *    types to the driver after the distributed count and runs the
+  *    classic in-memory loop (merge-for-merge equivalent, spec-gated);
+  *    this distributed variant is the plan-auditable shape for small
+  *    auditable budgets.
   *  - [[encode]] is a single shuffle-free projection (the learned
   *    merges are literals in the plan): per word, fold the K replaces
   *    and count symbols — runs at scan speed, raw text never shuffles.
