@@ -977,11 +977,14 @@ object Dedup {
     * gram is cross-doc iff min(doc_id) != max(doc_id) over its
     * occurrences — ONE hash aggregate keyed on the gram hash with
     * map-side partial min/max (never a countDistinct, whose partials
-    * are unbounded sets). Flagged hashes then semi-join back to the
-    * position table — hash-partitioned on the gram hash, both sides
-    * (hash, id) pairs only — and one partial-aggregating count per
-    * doc_id closes it. Two exchanges of fixed-width rows total,
-    * corpus-sized but never wider than (16-byte hash, long).
+    * are unbounded sets). The census covers EVERY gram hash, so an
+    * inner join back to the position table keeps every position row
+    * and ONE per-doc aggregate produces BOTH counts (total and
+    * flagged) — a separate totals branch would re-run the corpus scan
+    * + gram hashing a third time. Exchanges carry fixed-width rows
+    * only, never wider than (16-byte hash, id, boolean); the corpus is
+    * scanned twice (census + join probe) — a stored gram-position
+    * table would make it once.
     */
   def crossDocDupGrams(corpus: DataFrame, n: Int = 13,
                        textCol: String = "text"): DataFrame = {
@@ -994,18 +997,15 @@ object Dedup {
       .select(col("doc_id"),
         explode(transform(starts,
           i => md5(array_join(slice(ws, i, lit(n)), " ")))).as("h"))
-    val crossDoc = positions
+    val census = positions
       .groupBy(col("h"))
-      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
-      .filter(col("mn") =!= col("mx"))
-      .select(col("h"))
+      .agg((min(col("doc_id")) =!= max(col("doc_id"))).as("dup"))
     val perDoc = positions
-      .join(crossDoc, Seq("h"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_grams"))
-    val totals = positions
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      .join(census, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("dup"), 1)).as("n_dup_grams"))
     corpus.select(col("doc_id"))
-      .join(totals, Seq("doc_id"), "left")
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
