@@ -1211,13 +1211,16 @@ object SparkEntry {
     // literal replace that replays verbatim in DuckDB, so the whole
     // training loop is exactly oracle-checked (12 covers both
     // single-char and compound merges on this corpus, e.g. p+ar)
-    "q_bpe_merges" -> ((s, dir) => graft.spark.Bpe.learn(docs(s, dir), bpeMerges)),
+    // (r6: learnLocal — merge-for-merge equivalent to learn, BpeSpec-
+    // gated; ONE distributed job instead of K sequential aggregations,
+    // and this corpus's ~31-word vocabulary is far under maxTypes)
+    "q_bpe_merges" -> ((s, dir) => graft.spark.Bpe.learnLocal(docs(s, dir), bpeMerges)),
     // apply the learned merges: per-doc (n_words, n_tokens) — the
     // token-budget numbers chunk/pack sizing consumes. The merge table
     // is a driver artifact (like the IVF centroids); encode itself is
     // one shuffle-free projection
     "q_bpe_encode" -> ((s, dir) => {
-      val m = graft.spark.Bpe.learn(docs(s, dir), bpeMerges)
+      val m = graft.spark.Bpe.learnLocal(docs(s, dir), bpeMerges)
         .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
       graft.spark.Bpe.encode(docs(s, dir), m)
     }),
@@ -1228,11 +1231,11 @@ object SparkEntry {
     // measured chunk-size distribution (12-72 BPE tokens, mean 52):
     // some pairs co-pack, large chunks ride alone
     "q_packed_bpe" -> ((s, dir) => {
-      val m = graft.spark.Bpe.learn(docs(s, dir), bpeMerges)
+      val m = graft.spark.Bpe.learnLocal(docs(s, dir), bpeMerges)
         .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
       val chunks = Chunking.chunk(guardMaxWords(docs(s, dir), "text", 772),
         maxTokens = 16, overlap = 4)
-        .withColumn("n_tokens", graft.spark.Bpe.tokenCount(col("chunk_text"), m))
+        .withColumn("n_tokens", graft.spark.Bpe.tokenCountLocal(col("chunk_text"), m))
       Packing.packNextFit(chunks, capacity = 112, shard = col("doc_id"))
         .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
           col("seq_idx"), col("seq_pos"))
@@ -1253,12 +1256,12 @@ object SparkEntry {
       val sampled = graft.spark.Dsir.resample(scored,
         Seq(-105 -> 65536, -110 -> 32768, -115 -> 16384), floorRate = 8192)
         .select(col("doc_id"))
-      val m = graft.spark.Bpe.learn(docs(s, dir), bpeMerges)
+      val m = graft.spark.Bpe.learnLocal(docs(s, dir), bpeMerges)
         .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
       val kept = docs(s, dir).join(sampled, Seq("doc_id"), "left_semi")
       val chunks = Chunking.chunk(guardMaxWords(kept, "text", 772),
         maxTokens = 16, overlap = 4)
-        .withColumn("n_tokens", graft.spark.Bpe.tokenCount(col("chunk_text"), m))
+        .withColumn("n_tokens", graft.spark.Bpe.tokenCountLocal(col("chunk_text"), m))
       Packing.packNextFit(chunks, capacity = 112, shard = col("doc_id"))
         .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
           col("seq_idx"), col("seq_pos"))

@@ -233,6 +233,89 @@ object Bpe {
       (acc, w) => acc + size(split(segFinal(w), " ")).cast("long"))
   }
 
+  /** In-JVM [[tokenCount]] — identical result, none of the plan-side
+    * string churn. [[tokenCount]]'s built-in form pays a regex pass per
+    * CHARACTER (seg0's `(?s)(.)` rewrite), K full-string `replace`
+    * scans per word, and a final split — measured as the dominant cost
+    * of the BPE-weighted packing queries even at K = 12, and the
+    * expression tree grows with K (the production blocker VERDICT r5
+    * flagged: a 50k-merge budget cannot be planned as literals at all).
+    * Here the merge table is captured once per executor and each word
+    * is segmented to code-point symbols and merged with the classic
+    * in-place left-to-right walk — the same within-word merge order as
+    * SQL `replace` on the bar-wrapped encoding (never re-matching
+    * inside a replacement; the [[learnLocal]] application loop), so
+    * the count is equal BY CONSTRUCTION for every merge budget.
+    * BpeSpec pins the equivalence against [[tokenCount]] on learned
+    * merge tables; the same fail-loud delimiter contract applies.
+    * O(K * word len) with zero regex and O(len) small allocations.
+    */
+  def tokenCountLocal(textCol: Column, merges: Seq[(String, String)]): Column = {
+    val ms: Array[(String, String)] = merges.toArray
+    val f = udf { (text: String) =>
+      val t = if (text == null) "" else text
+      var total = 0L
+      val n = t.length
+      var start = 0
+      var i = 0
+      while (i <= n) {
+        if (i == n || t.charAt(i) == ' ') {
+          if (i > start) total += countWordTokens(t, start, i, ms)
+          start = i + 1
+        }
+        i += 1
+      }
+      total
+    }
+    f(textCol)
+  }
+
+  /** Symbol count of one word (t[from, until)) after applying `ms` in
+    * order — the [[learnLocal]] merge walk, counting only.
+    */
+  private def countWordTokens(t: String, from: Int, until: Int,
+                              ms: Array[(String, String)]): Int = {
+    // same fail-loud contract as wordsOf: '|' would corrupt the
+    // bar-wrapped encoding this must stay equivalent to
+    var j = from
+    while (j < until) {
+      if (t.charAt(j) == '|')
+        throw new IllegalArgumentException(
+          "BPE delimiter '|' occurs in a corpus word — choose a " +
+            "different delimiter or pre-clean the text")
+      j += 1
+    }
+    // code-point symbols (seg0's regex '.' matches code points)
+    var syms = new Array[String](until - from)
+    var len = 0
+    var i = from
+    while (i < until) {
+      val cp = t.codePointAt(i)
+      val w = Character.charCount(cp)
+      syms(len) = t.substring(i, i + w)
+      len += 1
+      i += w
+    }
+    var k = 0
+    while (k < ms.length && len > 1) {
+      val l = ms(k)._1
+      val r = ms(k)._2
+      var in = 0
+      var out = 0
+      while (in < len) {
+        if (in < len - 1 && syms(in) == l && syms(in + 1) == r) {
+          syms(out) = l + r; in += 2 // left-to-right, no re-match inside
+        } else {
+          syms(out) = syms(in); in += 1
+        }
+        out += 1
+      }
+      len = out
+      k += 1
+    }
+    len
+  }
+
   /** Apply learned merges to every word of every doc and report
     * (doc_id, n_words, n_tokens) — the token-budget number a training
     * pipeline feeds into [[Chunking]]/[[Packing]] sizing. `merges` is

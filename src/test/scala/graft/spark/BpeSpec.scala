@@ -130,6 +130,37 @@ class BpeSpec extends SparkTestBase {
     assert(loose.toSeq == Seq((0, 0L, 0), (1, 0L, 1)))
   }
 
+  test("tokenCountLocal == tokenCount on learned merges (incl. edge shapes)") {
+    // the in-JVM walk must reproduce the literal replace chain exactly:
+    // compound merges, chained merges (aa+ab), multi-space runs, empty
+    // and null text, non-BMP symbols, newline-in-word
+    val docs = mkDocs(Seq(
+      "aaab ab aaab cd cd", "ab widest widest lower", "a\nb a\nb",
+      "😀x 😀x 😀x", "", "  doublespace  end ", "aaaaaaaa aaab"))
+      .unionByName(spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(99L, null: String))),
+        mkDocs(Seq("z")).schema))
+    for (k <- Seq(0, 1, 3, 6)) {
+      val m =
+        if (k == 0) Seq.empty[(String, String)]
+        else Bpe.learn(docs.filter(col("text").isNotNull), k)
+          .collect().sortBy(_.getInt(0))
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+      val both = docs.select(col("doc_id"),
+        Bpe.tokenCount(col("text"), m).as("a"),
+        Bpe.tokenCountLocal(col("text"), m).as("b"))
+        .as[(Long, Long, Long)].collect()
+      both.foreach { case (id, a, b) =>
+        assert(a == b, s"doc $id diverged at K=$k: builtin=$a local=$b")
+      }
+    }
+    // fail-loud delimiter contract matches
+    val e = intercept[Exception](
+      mkDocs(Seq("ok a|b")).select(
+        Bpe.tokenCountLocal(col("text"), Seq(("a", "b")))).collect())
+    assert(e.getMessage.contains("delimiter"), e.getMessage)
+  }
+
   test("encode plans shuffle-free (merges are plan literals)") {
     val enc = Bpe.encode(mkDocs(Seq("aaab ab")), Seq(("a", "a"), ("a", "b")))
     val plan = enc.queryExecution.executedPlan.toString
