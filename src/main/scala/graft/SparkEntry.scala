@@ -93,7 +93,11 @@ object SparkEntry {
     * filter keeps every row; a violation raises with the message instead.
     */
   private def guardMaxWords(df: DataFrame, textCol: String, maxWords: Int): DataFrame =
-    df.filter(assert_true(size(split(col(textCol), " ")) <= lit(maxWords),
+    // r6: the word count is Chunking.wordCount's space arithmetic —
+    // EXACTLY size(split(t, " ")) (split keeps empties at limit -1)
+    // without materializing a word array per row just to read its size;
+    // null propagates identically (assert_true(null) does not raise)
+    df.filter(assert_true(Chunking.wordCount(col(textCol)) <= lit(maxWords),
       lit(s"oracle generate_series bound exceeded: $textCol > $maxWords words — " +
         "widen the oracle's series and this guard together")).isNull)
 
@@ -447,11 +451,14 @@ object SparkEntry {
       val ex = Pipeline.extractOnScanPartitions(Transcripts.derive(s, dir))
       // guardMaxWords: the oracle's chunk explode caps at
       // generate_series(0, 255) — covers <= 256 chunks = 3076 words at
-      // 16/4 chunking (ADVICE r4)
-      val convs = guardMaxWords(Pipeline.conversations(ex)
-        .filter(size(split(col("conv_text"), " ")) >= 100)
+      // 16/4 chunking (ADVICE r4). r6: the >=100-word filter is the
+      // same space arithmetic as the guard (== size(split)), and the
+      // chunker is the counts-only projection — nothing downstream
+      // reads chunk_text, so the conv text is never split at all.
+      val convs = guardMaxWords(Pipeline.conversationTexts(ex.toDF())
+        .filter(Chunking.wordCount(col("conv_text")) >= 100)
         .select(col("conv_id"), col("conv_text")), "conv_text", 3076)
-      val chunks = Chunking.chunk(convs, maxTokens = 16, overlap = 4,
+      val chunks = Chunking.chunkCounts(convs, maxTokens = 16, overlap = 4,
           textCol = "conv_text", idCol = "conv_id")
         .withColumn("conv_key", expr("CAST(substring(conv_id, 6) AS BIGINT)"))
       Packing.packNextFit(chunks, capacity = 24, shard = col("conv_key"),
@@ -475,21 +482,27 @@ object SparkEntry {
       // point the production pipeline has anyway (runResumable writes
       // extracted turns to the sink). Without it the composed plan
       // re-parsed the corpus 4x (PlanDump-attributed; 14.4 -> see
-      // BENCH/BASELINE.md for the measured drop).
+      // BENCH/BASELINE.md for the measured drop). r6: the checkpoint is
+      // SLIM — only (conv_id, turn_idx, extracted_text); the span
+      // arrays and node counters are dead in this composition, so they
+      // never enter the block manager.
       val ex = Pipeline.extractOnScanPartitions(Transcripts.derive(s, dir))
+        .select(col("conv_id"), col("turn_idx"), col("extracted_text"))
         .localCheckpoint()
-      val convs = guardMaxWords(Pipeline.conversations(ex)
-        .filter(size(split(col("conv_text"), " ")) >= 100)
+      val convs = guardMaxWords(Pipeline.conversationTexts(ex)
+        .filter(Chunking.wordCount(col("conv_text")) >= 100)
         .select(col("conv_id"), col("conv_text")), "conv_text", 3076)
       // the three span consumers (packing fold, sequence offsets, chunk
       // char windows) need only ids + sizes: checkpoint the SLIM chunk
       // relation (5 numeric cols/chunk, no text) instead of re-running
-      // the chunk generator per consumer
-      val chunks = Chunking.chunkWithOffsets(convs, maxTokens = 16, overlap = 4,
+      // the chunk generator per consumer. r6: chunkOffsetsOnly — the
+      // lengths/offsets are integer arithmetic over word lengths, no
+      // chunk_text string is ever built (ChunkingSpec-pinned equal to
+      // chunkWithOffsets + length(chunk_text)).
+      val chunks = Chunking.chunkOffsetsOnly(convs, maxTokens = 16, overlap = 4,
           textCol = "conv_text", idCol = "conv_id")
         .select(expr("CAST(substring(conv_id, 6) AS BIGINT)").as("conv_key"),
-          col("chunk_idx"), col("n_tokens"),
-          length(col("chunk_text")).cast("long").as("chunk_len"),
+          col("chunk_idx"), col("n_tokens"), col("chunk_len"),
           col("char_start"))
         .localCheckpoint()
       val asg = Packing.packNextFit(chunks, capacity = 24,
@@ -1589,7 +1602,8 @@ object SparkEntry {
         .select((col("doc_id") + lit(6000000L)).as("doc_id"), mkText("x", 2).as("text"))
       val contaminated = Dedup.contamination(corpus, planted.unionByName(clean))
         .select(col("doc_id"))
-      val chunks = Chunking.chunk(corpus, maxTokens = 16, overlap = 4)
+      // counts-only chunker: the traceback reads ids/sizes, never text
+      val chunks = Chunking.chunkCounts(corpus, maxTokens = 16, overlap = 4)
       val asg = Packing.packNextFit(chunks, capacity = 48,
         shard = pmod(col("doc_id"), lit(8)))
       Packing.affectedSequencesByDocs(asg, contaminated)

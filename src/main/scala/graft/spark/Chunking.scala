@@ -61,6 +61,97 @@ object Chunking {
         col("c.n_tokens").as("n_tokens"))
   }
 
+  /** Whitespace word count of a text column WITHOUT materializing the
+    * word array: `size(split(t, " "))` equals (number of spaces) + 1
+    * EXACTLY — split keeps empty strings at the default -1 limit, so
+    * every space contributes one element boundary — and the space count
+    * is `length(t) - length(translate(t, " ", ""))`. Null propagates
+    * like size(split(null)) under non-legacy null sizing (both are SQL
+    * null). Used by the slim chunkers and the scan-side word-count
+    * guards/filters, which previously split the full text into an
+    * array per row just to read its size.
+    */
+  def wordCount(textCol: Column): Column =
+    length(textCol) - length(translate(textCol, " ", "")) + lit(1)
+
+  /** The (idCol, chunk_idx, n_tokens) PROJECTION of [[chunk]] for
+    * consumers that never read `chunk_text` (e.g. packing by
+    * whitespace token counts): every output value is integer
+    * arithmetic over the word COUNT, so the text is never split at all
+    * — no word array, no per-chunk array_join. Catalyst does not prune
+    * the chunk_text construction out of [[chunk]]'s pre-explode struct
+    * on its own (the `.n_tokens` extraction is applied to the built
+    * struct array — plan-verified), so the projection is a separate
+    * shape. ChunkingSpec pins equality with
+    * `chunk(...).select(idCol, chunk_idx, n_tokens)`.
+    */
+  def chunkCounts(docs: DataFrame, maxTokens: Int = 512, overlap: Int = 64,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap must be in [0, maxTokens), got $overlap")
+    val step = maxTokens - overlap
+    val n: Column = col("n")
+    val lastStart = (ceil((greatest(n - lit(overlap), lit(1))).cast("double")
+      / lit(step)).cast("int") - 1) * lit(step)
+    docs
+      .select(col(idCol), wordCount(coalesce(col(textCol), lit(""))).as("n"))
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), lastStart, lit(step)), start =>
+          least(n - start, lit(maxTokens))))
+          .as(Seq("chunk_idx", "n_tokens")))
+  }
+
+  /** The (idCol, chunk_idx, n_tokens, chunk_len, char_start) projection
+    * of [[chunkWithOffsets]] for span consumers that never read
+    * `chunk_text` (the loss-mask remap pipeline keeps only ids +
+    * sizes): the text is split ONCE into word lengths and every chunk's
+    * char length and offset is integer arithmetic over them —
+    * chunk_len = sum(word lens in window) + (n_tokens - 1) separators,
+    * the exact length of the string [[chunkWithOffsets]] would have
+    * joined. No chunk_text string is ever built. ChunkingSpec pins
+    * equality with chunkWithOffsets + length(chunk_text).
+    */
+  def chunkOffsetsOnly(docs: DataFrame, maxTokens: Int = 512, overlap: Int = 64,
+                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap must be in [0, maxTokens), got $overlap")
+    val step = maxTokens - overlap
+    val ls: Column = col("ls")
+    val n: Column = size(ls)
+    val lastStart = (ceil((greatest(n - lit(overlap), lit(1))).cast("double")
+      / lit(step)).cast("int") - 1) * lit(step)
+    val starts = sequence(lit(0), lastStart, lit(step))
+    // same prefix recurrence as chunkWithOffsets, summing word lengths
+    // instead of measuring a joined string: step k adds the `step` word
+    // lengths between starts k-1 and k plus one separator per word
+    val charStarts = aggregate(
+      slice(starts, lit(2), greatest(size(starts) - 1, lit(0))),
+      array(lit(0L)),
+      (acc, st) => concat(acc, array(
+        element_at(acc, -1)
+          + aggregate(slice(ls, st - lit(step) + 1, lit(step)), lit(0L),
+            (a, x) => a + x)
+          + lit(step.toLong))))
+    docs
+      .select(col(idCol), split(coalesce(col(textCol), lit("")), " ").as("w"))
+      .select(col(idCol), transform(col("w"), x => length(x).cast("long")).as("ls"))
+      .select(col(idCol),
+        posexplode(zip_with(starts, charStarts, (start, cs) => {
+          val nt = least(n - start, lit(maxTokens))
+          struct(
+            nt.as("n_tokens"),
+            (aggregate(slice(ls, start + 1, nt), lit(0L), (a, x) => a + x)
+              + nt.cast("long") - lit(1L)).as("chunk_len"),
+            cs.as("char_start"))
+        })).as(Seq("chunk_idx", "c")))
+      .select(col(idCol), col("chunk_idx"),
+        col("c.n_tokens").as("n_tokens"),
+        col("c.chunk_len").as("chunk_len"),
+        col("c.char_start").as("char_start"))
+  }
+
   /** [[chunk]] plus each chunk's exact character offset `char_start` in
     * the ORIGINAL document text: because [[chunk]] splits on a single
     * space and re-joins slices with a single space, chunk_text ==

@@ -664,8 +664,17 @@ object Dedup {
     val best = ids.groupBy(col("h")).agg(max(col("__score")).as("__score"))
     val keep = ids.join(best, Seq("h", "__score"))
       .groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+    // pin the loser ids (r6): `kept` below is consulted by every
+    // near-tier subtree (signatures, both verify text joins, the score
+    // attach), and declaratively each consult would re-run the whole
+    // exact tier (corpus md5 + two exchanges) — AQE re-optimizes each
+    // copy, so exchange reuse does not collapse them (the
+    // connectedComponents edge lesson). The pinned relation is ids
+    // ONLY, bounded by the duplicate count; with it every `kept`
+    // consult is one scan + one broadcastable anti-join.
     val exactLosers = ids.join(keep, Seq("h"))
       .filter(col("doc_id") =!= col("keep_id")).select(col("doc_id"))
+      .localCheckpoint()
     val kept = docs.join(exactLosers, Seq("doc_id"), "left_anti")
     val nearLosers = nearDupGroupsBy(kept, scoreCol, simThreshold,
         jaccardThreshold, iters, maxBucketSize)

@@ -277,6 +277,22 @@ object Pipeline {
           .as("conv_text"))
   }
 
+  /** Lean reassembly for consumers that need ONLY (conv_id, conv_text):
+    * the [[conversations]] construction minus the counter aggregates —
+    * identical conv_text (same array_sort(collect_list(struct)) walk,
+    * same "\n" join), three fewer aggregate functions and a narrower
+    * exchange when the counters are dead downstream (the composed
+    * pipelines project them away immediately).
+    */
+  def conversationTexts(turns: DataFrame): DataFrame =
+    turns
+      .groupBy(col("conv_id"))
+      .agg(array_sort(collect_list(struct(col("turn_idx"), col("extracted_text"))))
+        .as("turns_sorted"))
+      .select(col("conv_id"),
+        array_join(transform(col("turns_sorted"), t => t.getField("extracted_text")), "\n")
+          .as("conv_text"))
+
   /** Training loss-mask spans: for each turn, its character span
     * [span_start, span_end) inside the reassembled `conv_text` of
     * [[conversations]] (turns joined by a single "\n"), plus the

@@ -28,17 +28,18 @@ object MaskProfile {
     for (rep <- 1 to 2) {
       println(s"--- rep $rep ---")
       val ex = t("extract+checkpoint") {
-        Pipeline.extractOnScanPartitions(Transcripts.derive(spark, sf)).localCheckpoint()
+        Pipeline.extractOnScanPartitions(Transcripts.derive(spark, sf))
+          .select(col("conv_id"), col("turn_idx"), col("extracted_text"))
+          .localCheckpoint()
       }
-      val convs = Pipeline.conversations(ex)
-        .filter(size(split(col("conv_text"), " ")) >= 100)
+      val convs = Pipeline.conversationTexts(ex)
+        .filter(Chunking.wordCount(col("conv_text")) >= 100)
         .select(col("conv_id"), col("conv_text"))
       val chunks = t("chunks+checkpoint") {
-        Chunking.chunkWithOffsets(convs, maxTokens = 16, overlap = 4,
+        Chunking.chunkOffsetsOnly(convs, maxTokens = 16, overlap = 4,
             textCol = "conv_text", idCol = "conv_id")
           .select(expr("CAST(substring(conv_id, 6) AS BIGINT)").as("conv_key"),
-            col("chunk_idx"), col("n_tokens"),
-            length(col("chunk_text")).cast("long").as("chunk_len"),
+            col("chunk_idx"), col("n_tokens"), col("chunk_len"),
             col("char_start"))
           .localCheckpoint()
       }

@@ -82,6 +82,67 @@ class ChunkingSpec extends SparkTestBase {
     assert(out.map(r => (r._1, r._2, r._3, r._4)).toSet == plain)
   }
 
+  test("wordCount == size(split(t, ' ')) incl. empties, runs, null") {
+    val texts = Seq("", " ", "  ", "a", "a b", "a  b", " a b ", "a\nb c",
+      "x" * 50, ("w " * 30).trim, "é ü  ß")
+    val df = mkDocs(texts).unionByName(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(99L, null: String))),
+      mkDocs(Seq("z")).schema))
+    val rows = df.select(col("doc_id"),
+        size(split(col("text"), " ")).as("a"),
+        Chunking.wordCount(col("text")).as("b"))
+      .collect()
+    rows.foreach { r =>
+      val a = if (r.isNullAt(1)) null else r.getInt(1)
+      val b = if (r.isNullAt(2)) null else r.getInt(2)
+      // size(split(null)) is -1 under legacy sizing but null here; both
+      // columns must agree row-for-row whichever convention is active
+      assert((r.isNullAt(1) || r.getInt(1) >= 0) &&
+        ((r.isNullAt(1) && r.isNullAt(2)) || a == b), s"row $r")
+    }
+  }
+
+  test("chunkCounts == chunk projected to (id, idx, n_tokens)") {
+    val rnd = new scala.util.Random(23)
+    val texts = Seq.tabulate(30)(i =>
+      Seq.fill(rnd.nextInt(70) + 1)("w" * (1 + rnd.nextInt(4))).mkString(" ")) ++
+      Seq("", "one", "a b c", "a  b", " lead", "trail ")
+    for ((mt, ov) <- Seq((8, 3), (4, 0), (16, 4))) {
+      val slim = Chunking.chunkCounts(mkDocs(texts), mt, ov)
+        .as[(Long, Int, Int)].collect().sortBy(r => (r._1, r._2)).toSeq
+      val full = Chunking.chunk(mkDocs(texts), mt, ov)
+        .select(col("doc_id"), col("chunk_idx"), col("n_tokens"))
+        .as[(Long, Int, Int)].collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(slim == full, s"diverged at ($mt, $ov)")
+    }
+  }
+
+  test("chunkOffsetsOnly == chunkWithOffsets projected to ids + sizes") {
+    val rnd = new scala.util.Random(31)
+    val texts = Seq.tabulate(30)(i =>
+      Seq.fill(rnd.nextInt(50) + 1)("x" * (1 + rnd.nextInt(6)) +
+        (if (rnd.nextInt(5) == 0) "\nY" else "")).mkString(" ")) ++
+      Seq("", "one", "a b c", "a  b ", "é ü ß")
+    for ((mt, ov) <- Seq((7, 2), (16, 4), (3, 0))) {
+      val slim = Chunking.chunkOffsetsOnly(mkDocs(texts), mt, ov)
+        .as[(Long, Int, Int, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+      val full = Chunking.chunkWithOffsets(mkDocs(texts), mt, ov)
+        .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+          length(col("chunk_text")).cast("long"), col("char_start"))
+        .as[(Long, Int, Int, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(slim == full, s"diverged at ($mt, $ov)")
+    }
+  }
+
+  test("slim chunkers stay shuffle-free projections") {
+    for (df <- Seq(Chunking.chunkCounts(mkDocs(Seq("a b c d e")), 3, 1),
+                   Chunking.chunkOffsetsOnly(mkDocs(Seq("a b c d e")), 3, 1))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+      assert(!plan.contains("BatchEvalPython") && !plan.contains("UDF"), plan)
+    }
+  }
+
   test("chunkWithOffsets stays a shuffle-free projection") {
     val plan = Chunking.chunkWithOffsets(mkDocs(Seq("a b c d e")), 3, 1)
       .queryExecution.executedPlan.toString
