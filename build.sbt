@@ -45,5 +45,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // stabilizes at the live set, and the storm cannot happen. Young gen
   // capped at 6g: big enough that short-lived query output dies young (2g measured full-GC-bound on the string-heavy queries), small enough that the one-time eden commit stays cheap.
   "-XX:+UseParallelGC",
-  "-XX:MaxNewSize=6g",
+  // young-gen cap parameterised for measurement (round 6): 6g was the
+  // round-2 pick (2g measured full-GC-bound, large eden feared for its
+  // one-time commit cost); the extract-family queries still spend
+  // 40-60% of wall in GC at 6g, so the cap is worth re-measuring per
+  // environment. Local default stays the measured best (see
+  // OPTIMIZATION_r06.md for the 6g vs 12g vs 16g numbers).
+  s"-XX:MaxNewSize=${sys.env.getOrElse("SPARK_GRAFT_MAXNEW", "6g")}",
 )

@@ -1475,7 +1475,12 @@ object SparkEntry {
         .filter(col("keep")).select(col("doc_id"))
         .join(gkept.select(col("doc_id"), col("text")), Seq("doc_id"))
       // same again for the exact-dedup survivors: the substring tier
-      // consumes them three times (two gram explodes + the cut join)
+      // consumes them three times (two gram explodes + the cut join).
+      // (r6: a broadcast-semi-join restructure of this election —
+      // min(doc_id) per hash + text re-attach from the pinned gkept —
+      // measured NO better under A/B at sf0.1: the extra broadcast
+      // builds and gkept re-scans cancel the narrower exchange at this
+      // corpus width, so the one-pass min_by stands.)
       val deduped = lmkept.groupBy(md5(col("text")).as("h"))
         .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id")).as("w"))
         .select(col("w.doc_id").as("doc_id"), col("w.text").as("text"))
