@@ -1075,7 +1075,7 @@ object SparkEntry {
       // source exist, while clean md5-noise docs match nothing either
       // way — so the set is invariant to corpus-text duplication.
       val corpus = docs(s, dir).select(col("doc_id"), col("text"))
-        .filter(assert_true(size(split(col("text"), " ")) >= 10,
+        .filter(assert_true(Chunking.wordCount(col("text")) >= 10,
           lit("partial-inclusion oracle needs >= 10 words/doc")).isNull)
       val w = split(col("text"), " ")
       val prefixWords = floor(size(w) * lit(3) / lit(5)).cast("int")
