@@ -486,32 +486,40 @@ object SparkEntry {
       // SLIM — only (conv_id, turn_idx, extracted_text); the span
       // arrays and node counters are dead in this composition, so they
       // never enter the block manager.
+      // r6 second pass: conv_text and the in-loss spans come out of ONE
+      // conv-keyed aggregation (conversationTextsWithLossSpans) — the
+      // old masks branch paid its own exchange + per-conversation sort
+      // of every turn row for spans the agg's sorted turn array already
+      // determines. With extraction single-consumer the checkpoint
+      // moves to the aggregated conversations (text + spans, one row
+      // per conv), and the masks of never-chunked (<100-word) convs are
+      // dropped early — they could never survive the chunk-window join.
       val ex = Pipeline.extractOnScanPartitions(Transcripts.derive(s, dir))
-        .select(col("conv_id"), col("turn_idx"), col("extracted_text"))
+        .select(col("conv_id"), col("turn_idx"),
+          expr("CASE turn_idx % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END")
+            .as("role"),
+          col("extracted_text"))
+      val convsP = guardMaxWords(
+          Pipeline.conversationTextsWithLossSpans(ex.toDF())
+            .filter(Chunking.wordCount(col("conv_text")) >= 100), "conv_text", 3076)
+        .select(expr("CAST(substring(conv_id, 6) AS BIGINT)").as("conv_key"),
+          col("conv_text"), col("loss_spans"))
         .localCheckpoint()
-      val convs = guardMaxWords(Pipeline.conversationTexts(ex)
-        .filter(Chunking.wordCount(col("conv_text")) >= 100)
-        .select(col("conv_id"), col("conv_text")), "conv_text", 3076)
       // the three span consumers (packing fold, sequence offsets, chunk
       // char windows) need only ids + sizes: checkpoint the SLIM chunk
-      // relation (5 numeric cols/chunk, no text) instead of re-running
-      // the chunk generator per consumer. r6: chunkOffsetsOnly — the
+      // relation (5 numeric cols/chunk, no text). chunkOffsetsOnly —
       // lengths/offsets are integer arithmetic over word lengths, no
       // chunk_text string is ever built (ChunkingSpec-pinned equal to
       // chunkWithOffsets + length(chunk_text)).
-      val chunks = Chunking.chunkOffsetsOnly(convs, maxTokens = 16, overlap = 4,
-          textCol = "conv_text", idCol = "conv_id")
-        .select(expr("CAST(substring(conv_id, 6) AS BIGINT)").as("conv_key"),
-          col("chunk_idx"), col("n_tokens"), col("chunk_len"),
-          col("char_start"))
+      val chunks = Chunking.chunkOffsetsOnly(convsP, maxTokens = 16, overlap = 4,
+          textCol = "conv_text", idCol = "conv_key")
         .localCheckpoint()
       val asg = Packing.packNextFit(chunks, capacity = 24,
         shard = col("conv_key"), idCol = "conv_key")
-      val masks = Pipeline.lossMaskSpans(ex.withColumn("role",
-          expr("CASE turn_idx % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END")))
-        .filter(col("in_loss"))
-        .select(expr("CAST(substring(conv_id, 6) AS BIGINT)").as("conv_key"),
-          col("span_start"), col("span_end"))
+      val masks = convsP
+        .select(col("conv_key"), explode(col("loss_spans")).as("sp"))
+        .select(col("conv_key"), col("sp.span_start").as("span_start"),
+          col("sp.span_end").as("span_end"))
       Packing.remapSpansToSequences(chunks, asg, masks, idCol = "conv_key")
     }),
     // ===== window / agg over transcripts ==================================

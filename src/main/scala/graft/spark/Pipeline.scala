@@ -293,6 +293,55 @@ object Pipeline {
         array_join(transform(col("turns_sorted"), t => t.getField("extracted_text")), "\n")
           .as("conv_text"))
 
+  /** [[conversationTexts]] with the conversation's in-loss turn spans
+    * computed IN THE SAME AGGREGATION — the fused form of
+    * `conversationTexts` + [[lossMaskSpans]].filter(in_loss) for
+    * compositions that consume both (the loss-mask training pipeline):
+    * the separate spans branch costs a second conv-keyed exchange plus
+    * a per-conversation sort of every turn row, while here the prefix
+    * walk runs over the already-collected sorted turn array as an
+    * in-row `aggregate` (turn counts per conversation are small — the
+    * walk is O(turns) with an O(turns²) array-append bound that is
+    * irrelevant at transcript turn counts; a 10^5-turn monster
+    * conversation should use the row-wise [[lossMaskSpans]] window
+    * instead).
+    *
+    * Output: (conv_id, conv_text, loss_spans) where loss_spans is the
+    * array of [span_start, span_end) char spans of `lossRoles` turns in
+    * conv_text — BY CONSTRUCTION equal to [[lossMaskSpans]]'s spans for
+    * those turns (same turn order, same (len + 1) separator walk;
+    * PipelineSpec pins the equality). Input must carry (conv_id,
+    * turn_idx, role, extracted_text).
+    */
+  def conversationTextsWithLossSpans(turns: DataFrame,
+                                     lossRoles: Seq[String] = Seq("assistant")): DataFrame = {
+    require(lossRoles.nonEmpty, "lossRoles must not be empty")
+    val emptySpans =
+      array().cast("array<struct<span_start:bigint,span_end:bigint>>")
+    val walked = aggregate(
+      col("ts"),
+      struct(lit(0L).as("pos"), emptySpans.as("sp")),
+      (st, t) => {
+        val len = length(t.getField("extracted_text")).cast("long")
+        struct(
+          (st.getField("pos") + len + lit(1L)).as("pos"),
+          when(t.getField("role").isin(lossRoles.map(lit): _*),
+            concat(st.getField("sp"), array(struct(
+              st.getField("pos").as("span_start"),
+              (st.getField("pos") + len).as("span_end")))))
+            .otherwise(st.getField("sp")).as("sp"))
+      },
+      st => st.getField("sp"))
+    turns
+      .groupBy(col("conv_id"))
+      .agg(array_sort(collect_list(
+          struct(col("turn_idx"), col("role"), col("extracted_text")))).as("ts"))
+      .select(col("conv_id"),
+        array_join(transform(col("ts"), t => t.getField("extracted_text")), "\n")
+          .as("conv_text"),
+        walked.as("loss_spans"))
+  }
+
   /** Training loss-mask spans: for each turn, its character span
     * [span_start, span_end) inside the reassembled `conv_text` of
     * [[conversations]] (turns joined by a single "\n"), plus the

@@ -220,6 +220,35 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("fused conversationTextsWithLossSpans == conversations + lossMaskSpans") {
+    val df = spark.createDataset(quirkTurns).toDF()
+    val extracted = Pipeline.extractOnScanPartitions(df)
+    val withRole = extracted.withColumn("role",
+      expr("CASE turn_idx % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END"))
+    val fused = Pipeline.conversationTextsWithLossSpans(withRole.toDF())
+      .collect().map(r => r.getAs[String]("conv_id") ->
+        (r.getAs[String]("conv_text"),
+          r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("loss_spans")
+            .map(s => (s.getLong(0), s.getLong(1))).toSeq)).toMap
+    // reference: the row-wise window operator, filtered to in-loss turns,
+    // ordered by span_start (the fused walk emits in turn order)
+    val ref = Pipeline.lossMaskSpans(withRole).filter(col("in_loss"))
+      .select(col("conv_id"), col("span_start"), col("span_end"))
+      .collect().groupBy(_.getString(0)).view
+      .mapValues(_.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq).toMap
+    val refText = Pipeline.conversationTexts(extracted.toDF()).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fused.keySet == refText.keySet)
+    fused.foreach { case (cid, (text, spans)) =>
+      assert(text == refText(cid), s"conv_text diverged for $cid")
+      assert(spans == ref.getOrElse(cid, Seq.empty), s"spans diverged for $cid")
+    }
+    // conversationTexts itself must equal conversations' conv_text
+    val full = Pipeline.conversations(extracted).collect()
+      .map(r => r.getAs[String]("conv_id") -> r.getAs[String]("conv_text")).toMap
+    assert(refText == full)
+  }
+
   test("conversations reassembly joins turns in order") {
     val df = spark.createDataset(quirkTurns).toDF()
     val convs = Pipeline.conversations(Pipeline.extractTurns(df))

@@ -215,15 +215,19 @@ class PlanSpec extends SparkTestBase {
   test("masked pipeline: checkpoints make the final plan free of re-extraction and re-chunking") {
     // before the localCheckpoint fix the composed plan re-ran extraction
     // 4x and the chunk generator 3x (PlanDump-attributed, 14.4 s at
-    // sf0.1); with the extracted turns and the SLIM chunk relation
-    // checkpointed, the final plan must contain only the packing fold's
-    // MapPartitions, no Generate (chunking ran once inside the
-    // checkpoint), no aggregation (conversations likewise), and all
-    // leaves are checkpoint scans + slim-column exchanges
+    // sf0.1); with the conversations (text + fused loss spans) and the
+    // SLIM chunk relation checkpointed, the final plan must contain only
+    // the packing fold's MapPartitions, no chunk/parse Generate and no
+    // aggregation (both ran once inside the checkpoints) — the ONLY
+    // allowed Generate is the explode of the checkpointed per-conv
+    // loss_spans arrays (r6: the masks side no longer pays its own
+    // exchange + sort) — and all leaves are checkpoint scans +
+    // slim-column exchanges
     val df = graft.SparkEntry.queries("q_masked_pipeline")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
     assert("MapPartitions".r.findAllIn(plan).length == 1, plan) // the next-fit fold only
-    assert(!plan.contains("Generate"), plan)
+    assert("Generate".r.findAllIn(plan).length == 1 &&
+      plan.contains("Generate explode(loss_spans"), plan)
     assert(!plan.contains("HashAggregate"), plan)
     assert("Scan ExistingRDD".r.findAllIn(plan).nonEmpty, plan) // checkpoint leaves
   }
