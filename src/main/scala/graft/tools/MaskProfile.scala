@@ -27,41 +27,41 @@ object MaskProfile {
 
     for (rep <- 1 to 2) {
       println(s"--- rep $rep ---")
-      val ex = t("extract+checkpoint") {
-        Pipeline.extractOnScanPartitions(Transcripts.derive(spark, sf))
-          .select(col("conv_id"), col("turn_idx"), col("extracted_text"))
+      val ex = Pipeline.extractOnScanPartitions(Transcripts.derive(spark, sf))
+        .select(col("conv_id"), col("turn_idx"),
+          expr("CASE turn_idx % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END")
+            .as("role"),
+          col("extracted_text"))
+      val convsP = t("extract+convagg+checkpoint") {
+        Pipeline.conversationTextsWithLossSpans(ex.toDF())
+          .filter(Chunking.wordCount(col("conv_text")) >= 100)
+          .select(expr("CAST(substring(conv_id, 6) AS BIGINT)").as("conv_key"),
+            col("conv_text"), col("loss_spans"))
           .localCheckpoint()
       }
-      val convs = Pipeline.conversationTexts(ex)
-        .filter(Chunking.wordCount(col("conv_text")) >= 100)
-        .select(col("conv_id"), col("conv_text"))
       val chunks = t("chunks+checkpoint") {
-        Chunking.chunkOffsetsOnly(convs, maxTokens = 16, overlap = 4,
-            textCol = "conv_text", idCol = "conv_id")
-          .select(expr("CAST(substring(conv_id, 6) AS BIGINT)").as("conv_key"),
-            col("chunk_idx"), col("n_tokens"), col("chunk_len"),
-            col("char_start"))
+        Chunking.chunkOffsetsOnly(convsP, maxTokens = 16, overlap = 4,
+            textCol = "conv_text", idCol = "conv_key")
           .localCheckpoint()
       }
       val asg = Packing.packNextFit(chunks, capacity = 24,
         shard = col("conv_key"), idCol = "conv_key")
-      val masks = Pipeline.lossMaskSpans(ex.withColumn("role",
-          expr("CASE turn_idx % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END")))
-        .filter(col("in_loss"))
-        .select(expr("CAST(substring(conv_id, 6) AS BIGINT)").as("conv_key"),
-          col("span_start"), col("span_end"))
+      val masks = convsP
+        .select(col("conv_key"), explode(col("loss_spans")).as("sp"))
+        .select(col("conv_key"), col("sp.span_start").as("span_start"),
+          col("sp.span_end").as("span_end"))
       val n = t("remap+count") {
         Packing.remapSpansToSequences(chunks, asg, masks, idCol = "conv_key").count()
       }
       println(s"rows=$n")
-      // contrast: chunk generator without the offset prefix scan
-      t("plain-chunk-count") {
-        Chunking.chunk(convs, maxTokens = 16, overlap = 4,
-          textCol = "conv_text", idCol = "conv_id").count()
+      // contrast: slim offsets vs full chunkers over the same pinned convs
+      t("chunkOffsetsOnly-count") {
+        Chunking.chunkOffsetsOnly(convsP, maxTokens = 16, overlap = 4,
+          textCol = "conv_text", idCol = "conv_key").count()
       }
-      t("offset-chunk-count") {
-        Chunking.chunkWithOffsets(convs, maxTokens = 16, overlap = 4,
-          textCol = "conv_text", idCol = "conv_id").count()
+      t("chunkWithOffsets-count") {
+        Chunking.chunkWithOffsets(convsP, maxTokens = 16, overlap = 4,
+          textCol = "conv_text", idCol = "conv_key").count()
       }
     }
     spark.stop()
