@@ -507,14 +507,20 @@ object SparkEntry {
         .localCheckpoint()
       // the three span consumers (packing fold, sequence offsets, chunk
       // char windows) need only ids + sizes: checkpoint the SLIM chunk
-      // relation (5 numeric cols/chunk, no text). chunkOffsetsOnly —
-      // lengths/offsets are integer arithmetic over word lengths, no
-      // chunk_text string is ever built (ChunkingSpec-pinned equal to
-      // chunkWithOffsets + length(chunk_text)).
-      val chunks = Chunking.chunkOffsetsOnly(convsP, maxTokens = 16, overlap = 4,
+      // relation (5 numeric cols/chunk, no text). chunkOffsetsMapped —
+      // the compiled one-pass form of chunkOffsetsOnly (ChunkingSpec
+      // pins row-for-row equality, incl. non-BMP): the declarative
+      // higher-order-function arithmetic is interpreted per element and
+      // measured 2.03 s vs 0.13 s warm over this exact input
+      // (tools.ChunkFastProbe); no chunk_text string is ever built.
+      val chunks = Chunking.chunkOffsetsMapped(convsP, maxTokens = 16, overlap = 4,
           textCol = "conv_text", idCol = "conv_key")
         .localCheckpoint()
-      val asg = Packing.packNextFit(chunks, capacity = 24,
+      // fused fold: the packing walk emits each chunk's seq_text offset
+      // as it places it (PackingSpec-pinned == packNextFit +
+      // sequenceSpans), so the remap below skips the sequenceSpans
+      // join + (shard, seq_idx) window exchange
+      val asg = Packing.packNextFitWithOffsets(chunks, capacity = 24,
         shard = col("conv_key"), idCol = "conv_key")
       val masks = convsP
         .select(col("conv_key"), explode(col("loss_spans")).as("sp"))

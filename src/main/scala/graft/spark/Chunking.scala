@@ -152,6 +152,82 @@ object Chunking {
         col("c.char_start").as("char_start"))
   }
 
+  /** The COMPILED form of [[chunkOffsetsOnly]] — same five output
+    * columns, same values row-for-row (ChunkingSpec-pinned), computed by
+    * a single per-partition pass in the JVM instead of the interpreted
+    * Catalyst higher-order-function chain. `aggregate`/`zip_with`/
+    * `transform` lambdas do not participate in whole-stage codegen:
+    * every word-length slice-sum of the declarative form is an
+    * interpreted per-element walk, measured 2.03 s vs 0.13 s warm for
+    * this operator over the q_masked_pipeline conversations at sf0.1
+    * (graft.tools.ChunkFastProbe, 120k docs -> 3.1M chunks, 0
+    * mismatches). Here each row is one char pass (word boundaries +
+    * code-point prefix sums) and chunk windows are O(1) prefix-sum
+    * differences.
+    *
+    * Word lengths are counted in CODE POINTS (a non-low-surrogate unit
+    * count), matching Spark's `length()` exactly on supplementary-plane
+    * text — offsets must stay substring-faithful under Spark substring
+    * semantics. The id column must be integral (cast-to-long lossless,
+    * same fail-fast contract as [[Packing.packNextFit]]); callers with
+    * other id types use the declarative [[chunkOffsetsOnly]].
+    */
+  def chunkOffsetsMapped(docs: DataFrame, maxTokens: Int = 512, overlap: Int = 64,
+                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap must be in [0, maxTokens), got $overlap")
+    docs.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"chunkOffsetsMapped id column '$idCol' must be an integral type; got $other " +
+          "— use chunkOffsetsOnly for non-integral ids")
+    }
+    val step = maxTokens - overlap
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long"), coalesce(col(textCol), lit("")))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          // boundaries of split(text, " ", -1): every ' ' ends a word
+          var nWords = 1
+          var i = 0
+          val units = text.length
+          while (i < units) { if (text.charAt(i) == ' ') nWords += 1; i += 1 }
+          // pre(k) = code points in words[0..k) — low surrogates are the
+          // second half of an already-counted code point
+          val pre = new Array[Long](nWords + 1)
+          var w = 0
+          var cp = 0L
+          i = 0
+          while (i < units) {
+            val c = text.charAt(i)
+            if (c == ' ') { pre(w + 1) = cp; w += 1 }
+            else if (!Character.isLowSurrogate(c)) cp += 1
+            i += 1
+          }
+          pre(w + 1) = cp
+          val lastStart = ((math.max(nWords - overlap, 1) + step - 1) / step - 1) * step
+          val nChunks = lastStart / step + 1
+          val out = new Array[(Long, Int, Int, Long, Long)](nChunks)
+          var k = 0
+          while (k < nChunks) {
+            val s = k * step
+            val nt = math.min(nWords - s, maxTokens)
+            out(k) = (id, k, nt,
+              pre(s + nt) - pre(s) + nt - 1L, // window sum + (nt-1) separators
+              pre(s) + s.toLong)              // s words + s separators before
+            k += 1
+          }
+          out.iterator
+        }
+      }
+      .toDF(idCol, "chunk_idx", "n_tokens", "chunk_len", "char_start")
+  }
+
   /** [[chunk]] plus each chunk's exact character offset `char_start` in
     * the ORIGINAL document text: because [[chunk]] splits on a single
     * space and re-joins slices with a single space, chunk_text ==

@@ -82,6 +82,66 @@ object Packing {
       .toDF("shard", idCol, "chunk_idx", "n_tokens", "seq_idx", "seq_pos")
   }
 
+  /** [[packNextFit]] with each chunk's character offset `seq_off` inside
+    * its packed sequence's seq_text computed IN THE SAME FOLD — the
+    * fused form of packNextFit + [[sequenceSpans]] for span consumers:
+    * the fold already walks chunks in exactly seq_pos order (sorted
+    * (shard, id, chunk_idx) within shard partitions), so the running
+    * `len + sep.length` sum that sequenceSpans re-derives with a join
+    * back to the chunk relation plus a (shard, seq_idx) window exchange
+    * is one extra accumulator here. Input must carry `chunk_len` (slim
+    * chunk relations) or `chunk_text`; output = packNextFit's columns +
+    * `seq_off` (== sequenceSpans' span_start, PackingSpec-pinned).
+    * [[remapSpansToSequences]] consumes `seq_off` directly when the
+    * assignments carry it, skipping the join + window entirely.
+    */
+  def packNextFitWithOffsets(chunks: DataFrame, capacity: Int,
+                             shard: Column = null, nShards: Int = 256,
+                             idCol: String = "doc_id", sep: String = "\n"): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    chunks.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"packNextFitWithOffsets id column '$idCol' must be an integral type (cast-to-long " +
+          s"is lossless); got $other — derive a numeric key first")
+    }
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    val shardCol = if (shard != null) shard
+      else pmod(xxhash64(col(idCol)), lit(nShards))
+    val sepLen = sep.length.toLong
+    chunks
+      .select(shardCol.cast("long").as("shard"),
+        col(idCol).cast("long"), col("chunk_idx").cast("int"),
+        col("n_tokens").cast("int"), chunkLen(chunks).as("len"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col(idCol), col("chunk_idx"))
+      .as[(Long, Long, Int, Int, Long)]
+      .mapPartitions { it =>
+        var curShard = Long.MinValue
+        var first = true
+        var seq = 0L
+        var pos = 0
+        var fill = 0L
+        var off = 0L // span_start of the chunk being placed
+        it.map { case (sh, doc, ci, nt, len) =>
+          if (first || sh != curShard) { // new shard: reset the walk
+            curShard = sh; first = false
+            seq = 0L; pos = 0; fill = nt.toLong; off = 0L
+          } else if (fill + nt > capacity) { // bin full: open the next
+            seq += 1L; pos = 0; fill = nt.toLong; off = 0L
+          } else {
+            pos += 1; fill += nt
+          }
+          val row = (sh, doc, ci, nt, seq, pos, off)
+          off += len + sepLen // the next chunk in this sequence starts here
+          row
+        }
+      }
+      .toDF("shard", idCol, "chunk_idx", "n_tokens", "seq_idx", "seq_pos", "seq_off")
+  }
+
   /** Materialize the packed sequences themselves — the model-ready
     * artifact: one row per (shard, seq_idx) with the member chunks'
     * texts joined in seq_pos order. `sep` stands in for the EOS
@@ -203,9 +263,16 @@ object Packing {
                             sep: String = "\n"): DataFrame = {
     require(chunks.columns.contains("char_start"),
       "chunks must carry char_start — produce them with Chunking.chunkWithOffsets")
-    val offs = sequenceSpans(chunks, assignments, idCol, sep)
-      .select(col("shard"), col("seq_idx"), col("seq_pos"), col(idCol),
-        col("chunk_idx"), col("span_start").as("seq_off"))
+    // assignments from [[packNextFitWithOffsets]] already carry each
+    // chunk's sequence offset — the sequenceSpans join + (shard,
+    // seq_idx) window below would only re-derive it
+    val offs =
+      if (assignments.columns.contains("seq_off"))
+        assignments.select(col("shard"), col("seq_idx"), col("seq_pos"),
+          col(idCol), col("chunk_idx"), col("seq_off"))
+      else sequenceSpans(chunks, assignments, idCol, sep)
+        .select(col("shard"), col("seq_idx"), col("seq_pos"), col(idCol),
+          col("chunk_idx"), col("span_start").as("seq_off"))
     val cw = chunks.select(col(idCol), col("chunk_idx"),
       col("char_start").cast("long").as("char_start"),
       (col("char_start") + chunkLen(chunks)).cast("long").as("char_end"))

@@ -40,11 +40,11 @@ object MaskProfile {
           .localCheckpoint()
       }
       val chunks = t("chunks+checkpoint") {
-        Chunking.chunkOffsetsOnly(convsP, maxTokens = 16, overlap = 4,
+        Chunking.chunkOffsetsMapped(convsP, maxTokens = 16, overlap = 4,
             textCol = "conv_text", idCol = "conv_key")
           .localCheckpoint()
       }
-      val asg = Packing.packNextFit(chunks, capacity = 24,
+      val asg = Packing.packNextFitWithOffsets(chunks, capacity = 24,
         shard = col("conv_key"), idCol = "conv_key")
       val masks = convsP
         .select(col("conv_key"), explode(col("loss_spans")).as("sp"))
@@ -54,7 +54,11 @@ object MaskProfile {
         Packing.remapSpansToSequences(chunks, asg, masks, idCol = "conv_key").count()
       }
       println(s"rows=$n")
-      // contrast: slim offsets vs full chunkers over the same pinned convs
+      // contrast: compiled vs declarative chunkers over the same pinned convs
+      t("chunkOffsetsMapped-count") {
+        Chunking.chunkOffsetsMapped(convsP, maxTokens = 16, overlap = 4,
+          textCol = "conv_text", idCol = "conv_key").count()
+      }
       t("chunkOffsetsOnly-count") {
         Chunking.chunkOffsetsOnly(convsP, maxTokens = 16, overlap = 4,
           textCol = "conv_text", idCol = "conv_key").count()

@@ -134,9 +134,40 @@ class ChunkingSpec extends SparkTestBase {
     }
   }
 
+  test("chunkOffsetsMapped == chunkOffsetsOnly row-for-row (incl. non-BMP, runs, null)") {
+    val rnd = new scala.util.Random(41)
+    val texts = Seq.tabulate(30)(i =>
+      Seq.fill(rnd.nextInt(50) + 1)("x" * (1 + rnd.nextInt(6)) +
+        (if (rnd.nextInt(5) == 0) "\nY" else "")).mkString(" ")) ++
+      // supplementary-plane chars: Spark length() counts code points,
+      // Java String.length counts UTF-16 units — the compiled walk must
+      // agree with the declarative form on both offsets and lengths
+      Seq("", "one", "a b c", "a  b ", " lead", "é ü ß",
+        "𝄞𝄞 x 😀y z", "a 𝄞 b c d e f g")
+    val withNull = mkDocs(texts).unionByName(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(999L, null: String))),
+      mkDocs(Seq("z")).schema))
+    for ((mt, ov) <- Seq((7, 2), (16, 4), (3, 0), (2, 1))) {
+      val mapped = Chunking.chunkOffsetsMapped(withNull, mt, ov)
+        .as[(Long, Int, Int, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+      val decl = Chunking.chunkOffsetsOnly(withNull, mt, ov)
+        .as[(Long, Int, Int, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(mapped == decl, s"diverged at ($mt, $ov)")
+    }
+  }
+
+  test("chunkOffsetsMapped fails fast on a non-integral id column") {
+    val df = spark.createDataset(Seq(("c1", "a b c"))).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Chunking.chunkOffsetsMapped(df, 4, 1)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("slim chunkers stay shuffle-free projections") {
     for (df <- Seq(Chunking.chunkCounts(mkDocs(Seq("a b c d e")), 3, 1),
-                   Chunking.chunkOffsetsOnly(mkDocs(Seq("a b c d e")), 3, 1))) {
+                   Chunking.chunkOffsetsOnly(mkDocs(Seq("a b c d e")), 3, 1),
+                   Chunking.chunkOffsetsMapped(mkDocs(Seq("a b c d e")), 3, 1))) {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), plan)
       assert(!plan.contains("BatchEvalPython") && !plan.contains("UDF"), plan)

@@ -48,6 +48,41 @@ class PackingSpec extends SparkTestBase {
     assert(got.groupBy(_._2).forall(_._2.map(_._1).distinct.length == 1))
   }
 
+  test("packNextFitWithOffsets == packNextFit + sequenceSpans (fused seq_off, incl. in remap)") {
+    val rnd = new scala.util.Random(47)
+    // random docs with variable-width words so char offsets exercise the
+    // running len+sep sum, several docs per shard, some oversize chunks
+    val docs = spark.createDataset((0L until 40L).map(d =>
+        (d, Seq.fill(1 + rnd.nextInt(30))("x" * (1 + rnd.nextInt(7))).mkString(" "))))
+      .toDF("doc_id", "text")
+    val chunks = Chunking.chunkWithOffsets(docs, maxTokens = 4, overlap = 1)
+    for (cap <- Seq(6, 10)) {
+      val plain = Packing.packNextFit(chunks, cap, nShards = 4)
+      val fused = Packing.packNextFitWithOffsets(chunks, cap, nShards = 4)
+      // same assignment columns row-for-row
+      assert(fused.drop("seq_off").as[(Long, Long, Int, Int, Long, Int)]
+          .collect().sortBy(r => (r._2, r._3)).toSeq ==
+        plain.as[(Long, Long, Int, Int, Long, Int)]
+          .collect().sortBy(r => (r._2, r._3)).toSeq, s"cap $cap assignments")
+      // seq_off == sequenceSpans' span_start per (doc, chunk)
+      val offs = Packing.sequenceSpans(chunks, plain)
+        .select(col("doc_id"), col("chunk_idx"), col("span_start"))
+        .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+      val got = fused.select(col("doc_id"), col("chunk_idx"), col("seq_off"))
+        .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(got == offs, s"cap $cap offsets")
+      // and the remap consumes seq_off identically to the derived path
+      val spans = spark.createDataset((0L until 40L).flatMap(d =>
+          Seq.fill(rnd.nextInt(3))({ val s = rnd.nextInt(40); (d, s.toLong, (s + 1 + rnd.nextInt(20)).toLong) })))
+        .toDF("doc_id", "span_start", "span_end")
+      val viaFused = Packing.remapSpansToSequences(chunks, fused, spans)
+        .as[(Long, Long, Int, Long, Int, Long, Long)].collect().sorted.toSeq
+      val viaPlain = Packing.remapSpansToSequences(chunks, plain, spans)
+        .as[(Long, Long, Int, Long, Int, Long, Long)].collect().sorted.toSeq
+      assert(viaFused == viaPlain, s"cap $cap remap")
+    }
+  }
+
   test("sequences materialize every chunk once, in seq_pos order, with true token sums") {
     val docs = spark.createDataset(Seq(
         (1L, (1 to 10).map("a" + _).mkString(" ")),
