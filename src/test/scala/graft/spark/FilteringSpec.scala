@@ -52,6 +52,28 @@ class FilteringSpec extends SparkTestBase {
     }
   }
 
+  test("repetitionStatsMapped == repetitionStats row-for-row (incl. unicode, runs, null)") {
+    val rnd = new scala.util.Random(53)
+    val vocab = Array("alpha", "beta", "gamma", "dd", "e", "é", "𝄞x", "wörld")
+    val texts = Seq.tabulate(60)(_ =>
+        Seq.fill(rnd.nextInt(40) + 1)(vocab(rnd.nextInt(vocab.length))).mkString(" ")) ++
+      Seq("", "one", "x x x x x", "a b a b a b a b", "a  b  a  b",
+        " lead lead", "trail trail ",
+        "héllo wörld héllo wörld héllo",
+        "𝄞 a 𝄞 a 𝄞 a", // supplementary plane: byte counts and byte order
+        "p q r s t u v w")
+    val withNull = mkDocs(texts).unionByName(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(999L, null: String))),
+      mkDocs(Seq("z")).schema))
+    val decl = Filtering.repetitionStats(withNull)
+      .select($"doc_id", $"n_words", $"top2_chars", $"dup3_chars")
+      .as[(Long, Int, Long, Long)].collect().sortBy(_._1).toSeq
+    val mapped = Filtering.repetitionStatsMapped(withNull)
+      .select($"doc_id", $"n_words", $"top2_chars", $"dup3_chars")
+      .as[(Long, Int, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(mapped == decl)
+  }
+
   test("gopherRepetitionFilter drops repetitive docs, keeps diverse ones, observable flag") {
     val texts = Seq(
       "spam spam spam spam spam spam",          // all duplicate grams -> drop
